@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet written by graft.Verify,
+runs the matching oracle SQL from oracle_sql.json in DuckDB over the
+same sfDir parquet tables, sorts columns by name and rows by all
+columns, and compares cell-by-cell (exact; floats reported with max
+abs diff when mismatched). Mirrors the described driver behavior so
+mismatches are caught before the round gate runs.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    return df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").df())
+            want = norm(con.execute(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols got={list(got.columns)} want={list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
+            n_fail += 1; continue
+        ok = True
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                import numpy as np
+                aa, bb = a.astype(float).values, b.astype(float).values
+                same = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
+                if not same.all():
+                    d = np.nanmax(np.abs(aa - bb))
+                    print(f"FAIL {name}: col {c} float mismatch maxabs={d:g} "
+                          f"n_bad={(~same).sum()}")
+                    ok = False
+            else:
+                if not a.astype(str).equals(b.astype(str)):
+                    bad = (a.astype(str) != b.astype(str))
+                    i = bad[bad].index[0]
+                    print(f"FAIL {name}: col {c} mismatch at row {i}: "
+                          f"got={a[i]!r} want={b[i]!r} (n_bad={bad.sum()})")
+                    ok = False
+        if ok:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+        else:
+            n_fail += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
