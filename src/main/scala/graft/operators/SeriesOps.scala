@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Thunder Series-parity operators over the canonical tall form
+  * `(key, ts, v)` (SURVEY.md §2.2–§2.4). Each cites its reference
+  * semantics source; all are expression-only (whole-stage codegen,
+  * no UDFs), and every aggregate that feeds a cross-engine comparison
+  * is built from exact decimal sums so the result is independent of
+  * shuffle/merge order (see Rollup scaladoc for the technique).
+  *
+  * Positional ops (`pos`) index each key's observations 0..n−1 in
+  * `ts` order — thunder's implicit dense index
+  * (thunder/series/series.py :: Series.index).
+  */
+object SeriesOps {
+
+  private def wKey = Window.partitionBy(col("key"))
+  private def wKeyOrd = Window.partitionBy(col("key")).orderBy(col("ts"))
+
+  /** Attach the 0-based positional index (deterministic: `ts` is
+    * unique per key in our sources; callers with ties must pre-add a
+    * tiebreaker column to the sort). */
+  def withPos(points: DataFrame): DataFrame =
+    points.withColumn("pos", (row_number().over(wKeyOrd) - 1).cast("long"))
+
+  // ---- §2.2 element-wise / selection --------------------------------
+
+  /** Series.between (thunder/series/series.py :: Series.between):
+    * inclusive ts-range restriction — predicate pushes to the scan. */
+  def between(points: DataFrame, lo: String, hi: String): DataFrame =
+    points.where(col("ts") >= lit(lo).cast("timestamp") &&
+      col("ts") <= lit(hi).cast("timestamp"))
+
+  /** Data.clip (thunder/base.py :: Data.clip). */
+  def clip(points: DataFrame, lo: Double, hi: Double): DataFrame =
+    points.withColumn("v", greatest(least(col("v"), lit(hi)), lit(lo)))
+
+  /** Series.squelch (thunder/series/series.py :: Series.squelch):
+    * zero every value of a key whose max < threshold. One window max,
+    * no extra shuffle beyond the key partition. */
+  def squelch(points: DataFrame, threshold: Double): DataFrame =
+    points.withColumn("v",
+      when(max(col("v")).over(wKey) < threshold, lit(0.0)).otherwise(col("v")))
+
+  /** Series.subsample (:: Series.subsample): every k-th observation. */
+  def subsample(points: DataFrame, k: Int): DataFrame =
+    withPos(points).where(col("pos") % k === 0)
+
+  // ---- §2.4 per-key transforms --------------------------------------
+
+  /** Series.center / standardize / zscore (ddof=0). `mean` and `std`
+    * come from the key's exact decimal sums so every engine agrees. */
+  private def keyStats(points: DataFrame): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    val agg = points.groupBy(col("key")).agg(
+      count(lit(1)).as("n"),
+      sum(vd).as("s_d"),
+      sum(vd * vd).as("sq_d"))
+    agg.select(col("key"), col("n"),
+      (col("s_d").cast("double") / col("n")).as("k_mean"),
+      sqrt(greatest(col("sq_d").cast("double") / col("n") -
+        (col("s_d").cast("double") / col("n")) * (col("s_d").cast("double") / col("n")),
+        lit(0.0))).as("k_std"))
+  }
+
+  def center(points: DataFrame): DataFrame =
+    points.join(keyStats(points).select("key", "k_mean"), Seq("key"))
+      .withColumn("v", col("v") - col("k_mean")).drop("k_mean")
+
+  def standardize(points: DataFrame): DataFrame =
+    points.join(keyStats(points).select("key", "k_std"), Seq("key"))
+      .withColumn("v", col("v") / col("k_std")).drop("k_std")
+
+  def zscore(points: DataFrame): DataFrame =
+    points.join(keyStats(points).select("key", "k_mean", "k_std"), Seq("key"))
+      .withColumn("v", (col("v") - col("k_mean")) / col("k_std"))
+      .drop("k_mean", "k_std")
+
+  /** Series.downsample(k) (:: Series.downsample): mean over
+    * non-overlapping positional bins of k. Bins with fewer than k
+    * points (the ragged tail) are kept — the caller can filter
+    * `bin_n < k` for thunder's strict divisibility behavior. */
+  def downsample(points: DataFrame, k: Int): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    withPos(points)
+      .groupBy(col("key"), floor(col("pos") / k).as("bin"))
+      .agg(count(lit(1)).as("bin_n"),
+        (sum(vd).cast("double") / count(lit(1))).as("v"))
+  }
+
+  /** Series.mean_by_panel(length) (:: Series.mean_by_panel): cyclic
+    * average — group positions by pos % length. */
+  def meanByPanel(points: DataFrame, length: Int): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    withPos(points)
+      .groupBy(col("key"), (col("pos") % length).as("phase"))
+      .agg(count(lit(1)).as("n"),
+        (sum(vd).cast("double") / count(lit(1))).as("v"))
+  }
+
+  /** Series.detrend('linear') (:: Series.detrend): OLS fit of v on
+    * position, subtract fit, add back the mean. Closed form from
+    * exact sums (Σv, Σiv, Σi, Σi² are all exactly-represented), so
+    * the residuals are bit-deterministic. */
+  def detrendLinear(points: DataFrame): DataFrame = {
+    val p = withPos(points)
+    val vd = col("v").cast("decimal(18,6)")
+    val iv = (col("pos") * col("v")) // pos small, v 6-frac → exact double
+    val agg = p.groupBy(col("key")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(vd).cast("double").as("sv"),
+      sum(iv.cast("decimal(27,6)")).cast("double").as("siv"),
+      sum(col("pos")).cast("double").as("si"),
+      sum(col("pos") * col("pos")).cast("double").as("sii"))
+    val b = (col("siv") - col("si") * col("sv") / col("n")) /
+      (col("sii") - col("si") * col("si") / col("n"))
+    val a = col("sv") / col("n") - b * (col("si") / col("n"))
+    p.join(agg, Seq("key"))
+      .withColumn("v",
+        col("v") - (a + b * col("pos")) + col("sv") / col("n"))
+      .select("key", "ts", "pos", "v")
+  }
+
+  /** Series.normalize('percentile', perc, offset)
+    * (:: Series.normalize): baseline b = per-key percentile,
+    * result (x − b) / (b + offset). Exact percentile (numpy linear
+    * interpolation — Spark's `percentile`). */
+  def normalizePercentile(points: DataFrame, perc: Double = 20,
+      offset: Double = 0.1): DataFrame =
+    points
+      .withColumn("base", expr(s"percentile(v, ${perc / 100.0})").over(wKey))
+      .withColumn("v", (col("v") - col("base")) / (col("base") + lit(offset)))
+      .drop("base")
+
+  /** Exact per-key percentile (Series.series_percentile). */
+  def seriesPercentile(points: DataFrame, q: Double): DataFrame =
+    points.groupBy(col("key"))
+      .agg(expr(s"percentile(v, $q)").as("pct"))
+
+  /** Series.correlate(signal) (:: Series.correlate): Pearson r of
+    * each key's series against a common reference signal supplied as
+    * a column expression of (ts, pos). Closed form from exact sums —
+    * here specialized to the elapsed-time signal t' = kiloseconds
+    * since `base`, whose products with 6-frac values stay exactly
+    * representable (bit-deterministic across engines). */
+  def correlateWithTime(points: DataFrame, baseEpochSec: Long): DataFrame = {
+    // elapsed kiloseconds at second resolution: a 3-frac-decimal
+    // quantity, so v·t products keep ≤5 fractional digits and their
+    // sums stay exactly double-representable (engine-portable)
+    val baseUs = baseEpochSec * 1000000L
+    val tks = expr(s"(unix_micros(cast(ts as timestamp)) - ${baseUs}L) div 1000000")
+      .cast("double") / 1000.0
+    val vd = col("v").cast("decimal(18,6)")
+    val td = tks.cast("decimal(18,6)")
+    points
+      .withColumn("t", tks)
+      .groupBy(col("key"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(vd).cast("double").as("sv"),
+        sum(td).cast("double").as("st"),
+        sum(vd * td).cast("double").as("svt"),
+        sum(vd * vd).cast("double").as("svv"),
+        sum(td * td).cast("double").as("stt"))
+      .select(col("key"),
+        ((col("svt") - col("sv") * col("st") / col("n")) /
+          (sqrt(col("svv") - col("sv") * col("sv") / col("n")) *
+            sqrt(col("stt") - col("st") * col("st") / col("n")))).as("r"))
+  }
+
+  /** Series.crosscorr(lag) (:: Series.crosscorr): Pearson r between
+    * the series and itself shifted by `lagN` positions (autocorr form;
+    * thunder's general form correlates against a broadcast signal —
+    * same machinery with a join). */
+  def autocorr(points: DataFrame, lagN: Int): DataFrame = {
+    val p = withPos(points)
+    val shifted = lead(col("v"), lagN).over(wKeyOrd)
+    val pairs = p.withColumn("v2", shifted).where(col("v2").isNotNull)
+    val a = col("v").cast("decimal(18,6)")
+    val b = col("v2").cast("decimal(18,6)")
+    pairs.groupBy(col("key")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(a).cast("double").as("sa"),
+        sum(b).cast("double").as("sb"),
+        sum(a * b).cast("double").as("sab"),
+        sum(a * a).cast("double").as("saa"),
+        sum(b * b).cast("double").as("sbb"))
+      .select(col("key"),
+        ((col("sab") - col("sa") * col("sb") / col("n")) /
+          (sqrt(col("saa") - col("sa") * col("sa") / col("n")) *
+            sqrt(col("sbb") - col("sb") * col("sb") / col("n")))).as("r"))
+  }
+
+  /** Series.convolve(signal) (:: Series.convolve), 'same' mode with a
+    * small symmetric kernel: fixed-order weighted sum over a row
+    * window — deterministic (no reduction reorder possible). */
+  def convolveSame(points: DataFrame, kernel: Seq[Double]): DataFrame = {
+    require(kernel.length % 2 == 1, "odd kernel for 'same' mode")
+    val h = kernel.length / 2
+    val terms = kernel.zipWithIndex.map { case (wgt, i) =>
+      val off = i - h
+      val c =
+        if (off < 0) lag(col("v"), -off).over(wKeyOrd)
+        else if (off > 0) lead(col("v"), off).over(wKeyOrd)
+        else col("v")
+      coalesce(c, lit(0.0)) * lit(wgt) // zero-padded boundary
+    }
+    points.withColumn("v", terms.reduceLeft(_ + _))
+  }
+
+  /** Series.fourier(freq) (:: Series.fourier): single-bin DFT via two
+    * closed-form dot products with cos/sin — cheap and exact enough;
+    * returns (re, im, coherence-normalizing amplitude terms are left
+    * to the caller). Results rounded to 6 digits when used in the
+    * cross-engine oracle (libm cos/sin may differ by 1 ulp). */
+  def dftBin(points: DataFrame, k: Int): DataFrame = {
+    val p = withPos(points)
+    val n = count(lit(1)).over(wKey)
+    val ang = lit(-2.0) * lit(math.Pi) * lit(k) * col("pos") / n
+    p.withColumn("re_t", col("v") * cos(ang))
+      .withColumn("im_t", col("v") * sin(ang))
+      .groupBy(col("key"))
+      .agg(sum(col("re_t")).as("re"), sum(col("im_t")).as("im"))
+  }
+
+  /** Series.mean_by_window(indices, window)
+    * (:: Series.mean_by_window): for each given center position,
+    * average the values at center+offset for offset ∈ [−half, half]
+    * across all centers → event-triggered average. Centers arrive as
+    * a (small) DataFrame with one `center` column and are broadcast —
+    * the range join never shuffles the big side. */
+  def meanByWindow(points: DataFrame, centers: DataFrame, half: Int): DataFrame = {
+    val p = withPos(points)
+    val vd = col("v").cast("decimal(18,6)")
+    p.join(broadcast(centers),
+        col("pos") >= col("center") - half && col("pos") <= col("center") + half)
+      .groupBy(col("key"), (col("pos") - col("center")).as("offset"))
+      .agg(count(lit(1)).as("n"),
+        (sum(vd).cast("double") / count(lit(1))).as("v"))
+  }
+
+  // ---- §2.3 across-record aggregation --------------------------------
+
+  /** Data.mean across records (thunder/base.py :: Data.mean): the
+    * element-wise mean series over all keys — per time bucket. */
+  def meanAcrossKeys(points: DataFrame, unit: String): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    points.groupBy(Rollup.bucket(col("ts"), unit).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(vd).cast("double") / count(lit(1))).as("v"))
+  }
+
+  /** stat_by_index with a multi-level index (:: Series.stat_by_index):
+    * grouped aggregation by derived index labels — here (hour-of-day)
+    * as the label, the diurnal-profile query. */
+  def meanByHourOfDay(points: DataFrame): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    points.groupBy(col("key"), hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"),
+        (sum(vd).cast("double") / count(lit(1))).as("v"))
+  }
+}

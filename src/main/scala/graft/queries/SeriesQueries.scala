@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import Q._
+
+/** Thunder Series-parity operator queries over events, each with a
+  * bit-deterministic DuckDB oracle (see SeriesOps scaladoc for the
+  * exact-decimal closed-form technique). */
+object SeriesQueries extends QuerySet {
+
+  private val EPOCH0 = 1704067200L // 2024-01-01T00:00:00Z, before all events
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zscore" -> ((s, dir) =>
+      ordered(SeriesOps.zscore(eventPoints(s, dir)).select("key", "ts", "v"))),
+    "q_center" -> ((s, dir) =>
+      ordered(SeriesOps.center(eventPoints(s, dir)).select("key", "ts", "v"))),
+    "q_standardize" -> ((s, dir) =>
+      ordered(SeriesOps.standardize(eventPoints(s, dir)).select("key", "ts", "v"))),
+    "q_clip" -> ((s, dir) =>
+      ordered(SeriesOps.clip(eventPoints(s, dir), 5.0, 100.0).select("key", "ts", "v"))),
+    "q_squelch" -> ((s, dir) =>
+      ordered(SeriesOps.squelch(eventPoints(s, dir), 450.0).select("key", "ts", "v"))),
+    "q_between" -> ((s, dir) =>
+      ordered(SeriesOps.between(eventPoints(s, dir),
+        "2024-01-10 00:00:00", "2024-01-20 00:00:00").select("key", "ts", "v"))),
+    "q_subsample" -> ((s, dir) =>
+      ordered(SeriesOps.subsample(eventPoints(s, dir), 7).select("key", "ts", "pos", "v"))),
+    "q_downsample" -> ((s, dir) =>
+      ordered(SeriesOps.downsample(eventPoints(s, dir), 12))),
+    "q_mean_by_panel" -> ((s, dir) =>
+      ordered(SeriesOps.meanByPanel(eventPoints(s, dir), 24))),
+    "q_detrend" -> ((s, dir) =>
+      ordered(SeriesOps.detrendLinear(eventPoints(s, dir)))),
+    "q_percentile" -> ((s, dir) =>
+      SeriesOps.seriesPercentile(eventPoints(s, dir), 0.2)
+        .select(col("key"), round(col("pct"), 6).as("pct"))
+        .orderBy("key", "pct")),
+    "q_normalize" -> ((s, dir) =>
+      ordered(SeriesOps.normalizePercentile(eventPoints(s, dir))
+        .select(col("key"), col("ts"), round(col("v"), 6).as("v")))),
+    "q_correlate_time" -> ((s, dir) =>
+      ordered(SeriesOps.correlateWithTime(eventPoints(s, dir), EPOCH0))),
+    "q_autocorr" -> ((s, dir) =>
+      ordered(SeriesOps.autocorr(eventPoints(s, dir), 1))),
+    "q_convolve" -> ((s, dir) =>
+      ordered(SeriesOps.convolveSame(eventPoints(s, dir), Seq(0.25, 0.5, 0.25))
+        .select("key", "ts", "v"))),
+    "q_dft_bin" -> ((s, dir) =>
+      SeriesOps.dftBin(eventPoints(s, dir), 1)
+        .select(col("key"), round(col("re"), 6).as("re"), round(col("im"), 6).as("im"))
+        .orderBy("key")),
+    "q_mean_by_window" -> ((s, dir) => {
+      val centers = s.range(1, 81, 20).select(col("id").as("center")) // 1,21,41,61
+      ordered(SeriesOps.meanByWindow(eventPoints(s, dir), centers, 2))
+    }),
+    "q_mean_across_keys" -> ((s, dir) =>
+      ordered(SeriesOps.meanAcrossKeys(eventPoints(s, dir), "hour"))),
+    "q_mean_by_hod" -> ((s, dir) =>
+      ordered(SeriesOps.meanByHourOfDay(eventPoints(s, dir)))),
+  )
+
+  private val zBody =
+    s"SELECT p.key, p.ts, (p.v - $kMeanSql) / $kStdSql AS v FROM pts p JOIN ks USING (key)"
+
+  val oracles: Map[String, String] = Map(
+    "q_zscore" ->
+      s"$ptsCte, $keyStatsCte $zBody ORDER BY key, ts, v",
+    "q_center" ->
+      s"$ptsCte, $keyStatsCte SELECT p.key, p.ts, (p.v - $kMeanSql) AS v FROM pts p JOIN ks USING (key) ORDER BY key, ts, v",
+    "q_standardize" ->
+      s"$ptsCte, $keyStatsCte SELECT p.key, p.ts, p.v / $kStdSql AS v FROM pts p JOIN ks USING (key) ORDER BY key, ts, v",
+    "q_clip" ->
+      s"$ptsCte SELECT key, ts, greatest(least(v, 100.0), 5.0) AS v FROM pts ORDER BY key, ts, v",
+    "q_squelch" ->
+      s"""$ptsCte SELECT key, ts,
+         |  CASE WHEN MAX(v) OVER (PARTITION BY key) < 450.0 THEN 0.0 ELSE v END AS v
+         |FROM pts ORDER BY key, ts, v""".stripMargin,
+    "q_between" ->
+      s"""$ptsCte SELECT key, ts, v FROM pts
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY key, ts, v""".stripMargin,
+    "q_subsample" ->
+      s"$ptsCte SELECT key, ts, pos, v FROM pts WHERE pos % 7 = 0 ORDER BY key, ts, pos, v",
+    "q_downsample" ->
+      s"""$ptsCte SELECT key, CAST(floor(pos / 12) AS BIGINT) AS bin, COUNT(*) AS bin_n,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+         |FROM pts GROUP BY 1, 2 ORDER BY key, bin, bin_n, v""".stripMargin,
+    "q_mean_by_panel" ->
+      s"""$ptsCte SELECT key, pos % 24 AS phase, COUNT(*) AS n,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+         |FROM pts GROUP BY 1, 2 ORDER BY key, phase, n, v""".stripMargin,
+    "q_detrend" ->
+      s"""$ptsCte, ag AS (
+         |  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         |         CAST(SUM(CAST(pos * v AS DECIMAL(27,6))) AS DOUBLE) AS siv,
+         |         CAST(SUM(pos) AS DOUBLE) AS si,
+         |         CAST(SUM(pos * pos) AS DOUBLE) AS sii
+         |  FROM pts GROUP BY key)
+         |SELECT p.key, p.ts, p.pos,
+         |       p.v - ((sv / n - ((siv - si * sv / n) / (sii - si * si / n)) * (si / n))
+         |              + ((siv - si * sv / n) / (sii - si * si / n)) * p.pos) + sv / n AS v
+         |FROM pts p JOIN ag USING (key) ORDER BY key, ts, pos, v""".stripMargin,
+    "q_percentile" ->
+      s"$ptsCte SELECT key, round(quantile_cont(v, 0.2), 6) AS pct FROM pts GROUP BY key ORDER BY key, pct",
+    "q_normalize" ->
+      s"""$ptsCte, base AS (
+         |  SELECT key, quantile_cont(v, 0.2) AS b FROM pts GROUP BY key)
+         |SELECT p.key, p.ts, round((p.v - b) / (b + 0.1), 6) AS v
+         |FROM pts p JOIN base USING (key) ORDER BY key, ts, v""".stripMargin,
+    "q_correlate_time" ->
+      s"""$ptsCte, tt AS (
+         |  SELECT key, v, CAST((epoch_us(ts) - ${EPOCH0}000000) // 1000000 AS DOUBLE) / 1000.0 AS t
+         |  FROM pts),
+         |ag AS (
+         |  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         |         CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS st,
+         |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(t AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS svt,
+         |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS svv,
+         |         CAST(CAST(SUM(CAST(t AS DECIMAL(19,6)) * CAST(t AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS stt
+         |  FROM tt GROUP BY key)
+         |SELECT key, (svt - sv * st / n) /
+         |       (sqrt(svv - sv * sv / n) * sqrt(stt - st * st / n)) AS r
+         |FROM ag ORDER BY key, r""".stripMargin,
+    "q_autocorr" ->
+      s"""$ptsCte, pr AS (
+         |  SELECT key, v, lead(v, 1) OVER (PARTITION BY key ORDER BY ts) AS v2
+         |  FROM pts QUALIFY v2 IS NOT NULL),
+         |ag AS (
+         |  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+         |         CAST(SUM(CAST(v2 AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+         |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v2 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sab,
+         |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS saa,
+         |         CAST(CAST(SUM(CAST(v2 AS DECIMAL(19,6)) * CAST(v2 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sbb
+         |  FROM pr GROUP BY key)
+         |SELECT key, (sab - sa * sb / n) /
+         |       (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) AS r
+         |FROM ag ORDER BY key, r""".stripMargin,
+    "q_convolve" ->
+      s"""$ptsCte SELECT key, ts,
+         |  coalesce(lag(v, 1) OVER w, 0.0) * 0.25 + v * 0.5 +
+         |  coalesce(lead(v, 1) OVER w, 0.0) * 0.25 AS v
+         |FROM pts WINDOW w AS (PARTITION BY key ORDER BY ts)
+         |ORDER BY key, ts, v""".stripMargin,
+    "q_dft_bin" ->
+      s"""$ptsCte, wn AS (
+         |  SELECT key, v, pos, COUNT(*) OVER (PARTITION BY key) AS n FROM pts)
+         |SELECT key,
+         |  round(SUM(v * cos(-2.0 * pi() * 1 * pos / n)), 6) AS re,
+         |  round(SUM(v * sin(-2.0 * pi() * 1 * pos / n)), 6) AS im
+         |FROM wn GROUP BY key ORDER BY key""".stripMargin,
+    "q_mean_by_window" ->
+      s"""$ptsCte, centers AS (
+         |  SELECT CAST(unnest(generate_series(1, 80, 20)) AS BIGINT) AS center)
+         |SELECT p.key, p.pos - c.center AS "offset", COUNT(*) AS n,
+         |  CAST(SUM(CAST(p.v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+         |FROM pts p JOIN centers c ON p.pos >= c.center - 2 AND p.pos <= c.center + 2
+         |GROUP BY 1, 2 ORDER BY key, "offset", n, v""".stripMargin,
+    "q_mean_across_keys" ->
+      s"""$ptsCte SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+         |FROM pts GROUP BY 1 ORDER BY bucket, n, v""".stripMargin,
+    "q_mean_by_hod" ->
+      s"""$ptsCte SELECT key, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+         |FROM pts GROUP BY 1, 2 ORDER BY key, hod, n, v""".stripMargin,
+  )
+}
