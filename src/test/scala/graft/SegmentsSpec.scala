@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Point
+import graft.operators._
+import graft.functions.KllAgg
+import graft.local.LocalOracle
+
+/** Segment encode/decode round trip through the Spark plan, and KLL
+  * sketch behavior (exact below compaction threshold, merge law). */
+class SegmentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("segments round-trip points bit-exactly through encode/decode") {
+    val pts = (0 until 500).map { i =>
+      Point(s"k${i % 3}", t(i * 137), ((i * 7919) % 10000) / 16.0)
+    }.toDF()
+    val back = Segments.fromSegments(Segments.toSegments(pts, "day"))
+    assert(back.exceptAll(pts.select("key", "ts", "v")).count() == 0)
+    assert(pts.select("key", "ts", "v").exceptAll(back).count() == 0)
+  }
+
+  test("segment stats match rollup of raw points") {
+    val pts = (0 until 200).map { i =>
+      Point("a", t(i * 61), (i % 13) * 1.5)
+    }.toDF()
+    val seg = Segments.toSegments(pts, "day")
+      .select(col("key"), col("bucket"), col("n").cast("long").as("cnt"),
+        col("sum_d"), col("min_v"), col("max_v"))
+    val roll = Rollup.rollupRaw(pts, "day")
+      .select(col("key"), col("bucket"), col("cnt"), col("sum_d"),
+        col("min_v"), col("max_v"))
+    assert(seg.exceptAll(roll).count() == 0 && roll.exceptAll(seg).count() == 0)
+  }
+
+  test("KLL sketch: exact quantiles below compaction, close above") {
+    val xs = (1 to 150).map(_.toDouble)
+    val df = xs.map(v => Point("a", t(v.toLong), v)).toDF()
+    val sk = df.agg(KllAgg.kll_sketch(col("v")).as("sk"))
+      .select(KllAgg.kll_quantile(col("sk"), 0.5).as("med"),
+        KllAgg.kll_n(col("sk")).as("n"))
+      .collect().head
+    assert(sk.getAs[Long]("n") == 150L)
+    assert(math.abs(sk.getAs[Double]("med") - 75.0) <= 1.0)
+    // large n: rank error within KLL k=200 bound (~1.65%)
+    val big = (1 to 50000).map(i => Point("b", t(i.toLong), i.toDouble)).toDF()
+    val q = big.agg(KllAgg.kll_sketch(col("v")).as("sk"))
+      .select(KllAgg.kll_quantile(col("sk"), 0.9).as("p90")).collect().head.getDouble(0)
+    assert(math.abs(q - 45000.0) / 50000.0 < 0.02, s"p90=$q")
+  }
+
+  test("KLL merge law: sketch(a++b) ≈ merge(sketch(a), sketch(b)); cascade via kll_merge") {
+    val pts = (0 until 2000).map { i =>
+      Point(s"k${i % 4}", t(i * 97), ((i * 31) % 500) / 3.0)
+    }.toDF()
+    // per-minute sketches merged up to one per key == direct per-key sketch (same n)
+    val perMin = pts.groupBy(col("key"), date_trunc("hour", col("ts")).as("b"))
+      .agg(KllAgg.kll_sketch(col("v")).as("sk"))
+    val merged = perMin.groupBy(col("key"))
+      .agg(KllAgg.kll_merge(col("sk")).as("sk"))
+      .select(col("key"), KllAgg.kll_n(col("sk")).as("n"),
+        KllAgg.kll_quantile(col("sk"), 0.5).as("med"))
+    val direct = pts.groupBy(col("key"))
+      .agg(KllAgg.kll_sketch(col("v")).as("sk"))
+      .select(col("key"), KllAgg.kll_n(col("sk")).as("n"),
+        KllAgg.kll_quantile(col("sk"), 0.5).as("dmed"))
+    val j = merged.join(direct, "key").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getAs[Long]("n") == 500L)
+      // both sketches see all 500 values exactly? n=500 > k=200 so
+      // compaction: medians agree within rank tolerance
+      assert(math.abs(r.getAs[Double]("med") - r.getAs[Double]("dmed")) /
+        math.max(1.0, r.getAs[Double]("dmed")) < 0.1)
+    }
+  }
+}
