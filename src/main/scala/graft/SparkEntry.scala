@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private val sets: Seq[QuerySet] =
-    Seq(RollupQueries, SeriesQueries, GapFillQueries, CodecQueries)
+    Seq(RollupQueries, SeriesQueries, GapFillQueries, CodecQueries,
+      DocQueries, ScaleQueries)
 
   /** Flagship: full retention cascade raw→1m→1h→1d over the
     * transcripts view of sf0.001, presented at the 1d tier. */

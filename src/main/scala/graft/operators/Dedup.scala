@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for large-scale training-data pipelines over
+  * a `documents(doc_id, text, …)` table. All expression-based; the
+  * candidate-pair joins are self-joins on compact signatures, never
+  * on raw text.
+  *
+  * Scale shapes:
+  *   - exact: one hash-aggregate on sha256(text) — the canonical
+  *     "hash-groupBy" dedup; keep-min-id winner.
+  *   - MinHash/LSH: shingles → k independent min-hashes (all inside
+  *     one projection via transform/aggregate higher-order functions,
+  *     no UDF) → band buckets → join docs sharing a band bucket.
+  *     Shuffle is on (band, bucket-hash) — bounded fan-out, no n²
+  *     pair explosion outside buckets.
+  *   - SimHash: 64-bit weighted-bit fingerprint; near-dup = small
+  *     Hamming distance, candidates via 4×16-bit chunk equality
+  *     (Hamming ≤ 3 pigeonhole) — same bucket-join shape.
+  *   - n-gram Jaccard: verification metric on candidate pairs only.
+  */
+object Dedup {
+
+  /** Word shingles (n-gram sets) as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    // sliding n-grams via transform over index range
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      x => x.isNotNull))
+  }
+
+  /** Exact dedup: winner (min doc_id) per identical text. Returns
+    * (doc_id, canonical_id, n_dups) for every doc in a dup group. */
+  def exact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("h"))
+    docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_dups", count(lit(1)).over(w))
+      .where(col("n_dups") > 1)
+      .select(col("doc_id"), col("canonical_id"), col("n_dups"))
+  }
+
+  /** k min-hash values per doc from word shingles, as array<long>.
+    * Hash family: xxhash64(shingle, seed_i). */
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column = {
+    val sh = shingles(text, shingleN)
+    // for each seed i: min over shingles of xxhash64(shingle, i)
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** MinHash-LSH candidate pairs: signatures split into `bands` bands
+    * of `rowsPerBand`; docs sharing any band bucket are candidates.
+    * Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b. */
+  def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = docs.select(col("doc_id"), minhashSignature(col("text"), k, shingleN).as("sig"))
+    val bandCols = array((0 until bands).map(b =>
+      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val banded = sig.select(col("doc_id"), posexplode(bandCols))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given pairs (verification
+    * stage after LSH candidates). `pairs` has (doc_a, doc_b). */
+  def jaccard(pairs: DataFrame, docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from word tokens (unit weights): bit j of the
+    * fingerprint = majority vote of token-hash bit j. Pure
+    * expressions: per-doc fold over tokens accumulating 64 counters
+    * would be wide; instead compute per (doc, bit) via explode —
+    * shuffle-light at one row per token. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = array((0 until 64).map(b =>
+      shiftright(col("h"), b).bitwiseAND(1L)): _*)
+    val bits = toks.select(col("doc_id"), posexplode(bitCols))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg((sum(col("col")) * 2 > count(lit(1))).cast("long").as("bit"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(bit, cast(pos as int))")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: Hamming(a,b) ≤ maxDist via 4×16-bit
+    * chunk pigeonhole + exact popcount verification. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunkCols = array((0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
+    val chunks = sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
+      .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
+    val a = chunks.as("a"); val b = chunks.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding cosine near-dup: pairs with cosine ≥ threshold via the
+    * Similarity module's bucketed join (thin wrapper for catalog
+    * completeness). */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame =
+    Similarity.cosineSelfJoin(embeddings, threshold)
+}

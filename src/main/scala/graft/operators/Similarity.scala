@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding array<float>, label)`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k of every query against the
+  *   full corpus — the correctness baseline. Dot products are
+  *   `aggregate(zip_with(...))` higher-order expressions (codegen'd,
+  *   no UDF). Queries are broadcast; the big side never shuffles.
+  * - `lshTopK`: the scale path — random-hyperplane (sign-LSH) bucket
+  *   join: b sign-bits per vector from fixed pseudo-random
+  *   hyperplanes (deterministic hash-derived components), candidates
+  *   share a bucket in ≥1 of `tables` hash tables, then exact cosine
+  *   re-rank inside buckets. Candidate volume scales with bucket
+  *   occupancy, not corpus².
+  * - `cosineSelfJoin`: all pairs above a cosine threshold (near-dup
+  *   detection) via the same bucketed candidates.
+  */
+object Similarity {
+
+  /** L2 norm of an array<float/double> column as double. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Exact top-k cosine neighbors for the `queries` subset (small,
+    * broadcast) against all of `corpus`. Output: (q_id, rank,
+    * vec_id, cos). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      l2norm(col("embedding")).as("q_nrm"))
+    val scored = c.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (table,
+    * bit, dim): a zero-mean value derived from xxhash64. */
+  private def hyper(table: Int, bit: Int, dim: Column): Column =
+    (pmod(xxhash64(concat_ws(":", lit(table), lit(bit), dim.cast("string"))),
+      lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Sign-LSH bucket id for one hash table: `bits` sign bits. */
+  private def bucketFor(emb: Column, table: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val proj = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
+        (x, i) => x.cast("double") * hyper(table, b, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN top-k via multi-table sign-LSH + exact re-rank. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 12, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      l2norm(col("embedding")).as("q_nrm"))
+    val cBuckets = c.select(col("vec_id"), col("emb"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        bucketFor(col("emb"), t, bits)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val qBuckets = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
+      posexplode(array((0 until tables).map(t =>
+        bucketFor(col("q_emb"), t, bits)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val cand = cBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("emb"), col("q_emb"),
+        col("nrm"), col("q_nrm"))
+      .distinct()
+    val scored = cand.select(col("q_id"), col("vec_id"),
+      cosine(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** All pairs with cosine ≥ threshold (embedding near-dup), via
+    * sign-LSH candidate buckets + exact verification. */
+  def cosineSelfJoin(embeddings: DataFrame, threshold: Double,
+      bits: Int = 10, tables: Int = 6): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding").as("emb"),
+      l2norm(col("embedding")).as("nrm"))
+    val buckets = e.select(col("vec_id"), col("emb"), col("nrm"),
+      posexplode(array((0 until tables).map(t =>
+        bucketFor(col("emb"), t, bits)): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val cand = a.join(b,
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over `documents`:
+  * language ID (marker-word heuristic), quality scoring, token
+  * counting, and rolling-hash fingerprints. All pure column
+  * expressions — they run inside whole-stage codegen on the scan,
+  * with no shuffle at all (verify: plan shows a single
+  * WholeStageCodegen(Scan→Project) span).
+  */
+object TextAnalysis {
+
+  // ---- token counting ------------------------------------------------
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      when(length(trim(text)) === 0, -1).otherwise(0) // empty → 0
+
+  /** BPE-ish subword count: words plus punctuation/digit splits —
+    * a regex proxy for tokenizer granularity (counts runs of
+    * letters, runs of digits, and single punctuation marks). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      x => length(trim(x)) > 0))
+
+  // ---- quality scoring -----------------------------------------------
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "on", "that", "it", "for", "with", "as", "at", "by")
+
+  /** Ratio of alphabetic chars, punctuation density, stopword ratio,
+    * mean word length, and a composite quality score in [0,1]. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = split(lower(trim(text)), "\\s+")
+    val nTok = size(toks).cast("double")
+    val alpha = (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      greatest(length(text), lit(1))).as("alpha_ratio")
+    val punct = (length(regexp_replace(text, "[^.,;:!?'\"()]", "")).cast("double") /
+      greatest(length(text), lit(1))).as("punct_ratio")
+    val stop = (size(filter(toks, t => t.isInCollection(stopwords))).cast("double") /
+      greatest(nTok, lit(1.0))).as("stopword_ratio")
+    val meanWord = (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTok, lit(1.0))).as("mean_word_len")
+    docs.select(col("doc_id"), alpha, punct, stop, meanWord)
+      .withColumn("quality",
+        // plausible-text bands: alphabetic-heavy, some stopwords,
+        // word lengths 3–10 → each factor in [0,1]
+        least(col("alpha_ratio") / 0.7, lit(1.0)) *
+          least(col("stopword_ratio") / 0.2, lit(1.0)) *
+          when(col("mean_word_len").between(3.0, 10.0), 1.0).otherwise(0.5))
+  }
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Marker sets per language (function words + script ranges). */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "en", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une", "dans", "que"))
+
+  /** n-gram/marker-word language ID: score per language = hit count
+    * of its marker words; zh detected by CJK codepoint share; winner
+    * takes the label ('und' when nothing scores). */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = split(lower(col(textCol)), "\\s+")
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(size(filter(toks, t => t.isInCollection(ws))).cast("double").as("score"),
+        lit(lang).as("lang"))
+    }
+    val cjkShare = (length(regexp_replace(col(textCol), "[^\\x{4E00}-\\x{9FFF}]", ""))
+      .cast("double") / greatest(length(col(textCol)), lit(1)))
+    val zh = struct((cjkShare * lit(1000.0)).as("score"), lit("zh").as("lang"))
+    val best = array_max(array(scores :+ zh: _*))
+    docs.select(col("doc_id"),
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise("und").as("lang_pred"),
+      best.getField("score").as("lang_score"))
+  }
+
+  // ---- fingerprinting --------------------------------------------------
+
+  /** Rolling-hash document fingerprint: xxhash64 over each k-word
+    * window, keep the minimum `keep` hashes (a winnowing-style
+    * sketch) — robust to local edits, array<long> output. */
+  def fingerprint(docs: DataFrame, k: Int = 5, keep: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val sh = Dedup.shingles(col(textCol), k)
+    docs.select(col("doc_id"),
+      slice(array_sort(transform(sh, s => xxhash64(s))), 1, keep).as("fingerprint"))
+  }
+}

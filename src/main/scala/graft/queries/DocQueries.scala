@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators._
+import Q._
+
+/** Training-data pipeline queries over documents/embeddings: dedup,
+  * text analysis, similarity search. Hash-based signatures (minhash/
+  * simhash/fingerprints use Spark's xxhash64, which DuckDB cannot
+  * reproduce) are rows-only checked + ScalaTest-verified; set-math
+  * and cosine queries carry full oracles. */
+object DocQueries extends QuerySet {
+
+  private val stop = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "on", "that", "it", "for", "with", "as", "at", "by")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      ordered(Dedup.exact(Tables.documents(s, dir)))),
+    "q_token_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ordered(d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m")))
+    }),
+    "q_quality" -> ((s, dir) =>
+      ordered(TextAnalysis.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("mean_word_len"), 6).as("mean_word_len")))),
+    "q_langid" -> ((s, dir) =>
+      // explicit fixed-precedence language pick so the oracle CASE
+      // chain mirrors it exactly (TextAnalysis.langId is the API
+      // form; tested in PipelineOpsSpec)
+      ordered(langScores(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          when(col("zh_s") > lit(0.05), "zh")
+            .when(col("en_s") >= greatest(col("es_s"), col("de_s"), col("fr_s")) && col("en_s") > 0, "en")
+            .when(col("es_s") >= greatest(col("de_s"), col("fr_s")) && col("es_s") > 0, "es")
+            .when(col("de_s") >= col("fr_s") && col("de_s") > 0, "de")
+            .when(col("fr_s") > 0, "fr")
+            .otherwise("und").as("lang_pred")))),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).where(col("doc_id") < 30)
+      val pairs = d.select(col("doc_id").as("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b")), col("doc_a") < col("doc_b"))
+      ordered(Dedup.jaccard(pairs, Tables.documents(s, dir), shingleN = 3)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard")))
+    }),
+    "q_knn_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+    "q_embed_norm" -> ((s, dir) =>
+      ordered(Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          round(Similarity.l2norm(col("embedding")), 6).as("nrm")))),
+    // ---- rows-only (hash-signature) queries ----
+    "q_minhash_lsh" -> ((s, dir) =>
+      ordered(Dedup.minhashLsh(Tables.documents(s, dir), k = 32, bands = 8))),
+    "q_simhash_neardups" -> ((s, dir) =>
+      ordered(Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 10))),
+    "q_fingerprint" -> ((s, dir) =>
+      ordered(TextAnalysis.fingerprint(Tables.documents(s, dir))
+        .select(col("doc_id"), concat_ws(",", transform(col("fingerprint"),
+          x => x.cast("string"))).as("fp")))),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") < 5), 10, bits = 8, tables = 6)
+        .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
+    "q_cosine_neardups" -> ((s, dir) =>
+      ordered(Similarity.cosineSelfJoin(Tables.embeddings(s, dir), 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))),
+  )
+
+  private def langScores(d: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    def score(ws: Seq[String]) =
+      size(filter(toks, t => t.isInCollection(ws))).cast("double")
+    d.select(col("doc_id"),
+      score(Seq("the", "and", "of", "to", "is", "with", "for")).as("en_s"),
+      score(Seq("el", "la", "los", "las", "de", "que", "y", "en", "una")).as("es_s"),
+      score(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein")).as("de_s"),
+      score(Seq("le", "les", "des", "et", "est", "une", "dans")).as("fr_s"),
+      (length(regexp_replace(col("text"), "[^\\x{4E00}-\\x{9FFF}]", ""))
+        .cast("double") / greatest(length(col("text")), lit(1))).as("zh_s"))
+  }
+
+  private val stopList = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents)
+        |SELECT doc_id,
+        |       MIN(doc_id) OVER (PARTITION BY hh) AS canonical_id,
+        |       COUNT(*) OVER (PARTITION BY hh) AS n_dups
+        |FROM h QUALIFY n_dups > 1
+        |ORDER BY doc_id, canonical_id, n_dups""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id, n_tokens, n_chars_m""".stripMargin,
+    "q_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+         |        greatest(length(text), 1), 6) AS alpha_ratio,
+         |  round(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) /
+         |        greatest(length(text), 1), 6) AS punct_ratio,
+         |  round(CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) /
+         |        greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+         |        greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_word_len
+         |FROM t
+         |ORDER BY doc_id, alpha_ratio, punct_ratio, stopword_ratio, mean_word_len""".stripMargin,
+    "q_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is','with','for'], t))) AS DOUBLE) AS en_s,
+        |    CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','que','y','en','una'], t))) AS DOUBLE) AS es_s,
+        |    CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], t))) AS DOUBLE) AS de_s,
+        |    CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS DOUBLE) AS fr_s,
+        |    CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1) AS zh_s
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN zh_s > 0.05 THEN 'zh'
+        |       WHEN en_s >= greatest(es_s, de_s, fr_s) AND en_s > 0 THEN 'en'
+        |       WHEN es_s >= greatest(de_s, fr_s) AND es_s > 0 THEN 'es'
+        |       WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |       WHEN fr_s > 0 THEN 'fr'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc ORDER BY doc_id, lang_pred""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    [array_to_string(toks[i+1:i+3], ' ')
+        |     for i in range(0, greatest(len(toks)-3, 0)+1)]) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 30 AND b.doc_id < 30
+        |ORDER BY doc_a, doc_b, jaccard""".stripMargin,
+    "q_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (
+        |  SELECT q.q_id, c.vec_id,
+        |         list_cosine_similarity(c.e, q.qe) AS cs
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cs,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT q_id, rank, vec_id, round(cs, 6) AS cos
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id,
+        |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
+        |FROM embeddings ORDER BY vec_id, nrm""".stripMargin,
+  )
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Point
+import graft.operators._
+import graft.synth.TranscriptGen
+
+/** Skew, ingest-layout, synth-generator, dedup, similarity, text
+  * analysis, multimodal plumbing. */
+class PipelineOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // ---- skew -----------------------------------------------------------
+
+  test("salted rollup == unsalted rollup exactly (uniform and hot-only salting)") {
+    val pts = (0 until 4000).map { i =>
+      // heavy head: key h gets 70% of rows
+      val k = if (i % 10 < 7) "h" else s"k${i % 10}"
+      Point(k, t(i * 13), ((i * 31) % 400) / 8.0)
+    }.toDF()
+    val want = Rollup.present(Rollup.rollupRaw(pts, "minute"))
+    val saltedAll = Rollup.present(Skew.saltedRollup(pts, "minute", 8, None))
+    assert(saltedAll.exceptAll(want).count() == 0 && want.exceptAll(saltedAll).count() == 0)
+    val hot = Skew.detectHot(pts, sampleFraction = 0.5, minShare = 0.2)
+    assert(hot.contains("h"))
+    val saltedHot = Rollup.present(Skew.saltedRollup(pts, "minute", 8, Some(hot)))
+    assert(saltedHot.exceptAll(want).count() == 0 && want.exceptAll(saltedHot).count() == 0)
+  }
+
+  // ---- ingest layout + synth -------------------------------------------
+
+  test("ingest layout preserves per-conversation text digests (B.6)") {
+    val tr = TranscriptGen.turns(spark, nTurns = 5000, nConvs = 50, partitions = 8)
+    val before = Ingest.digests(tr)
+    val after = Ingest.digests(Ingest.layout(tr, nBuckets = 8, nPartitions = 16)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+  }
+
+  test("synth generator: deterministic, skewed, dense turn_idx, non-decreasing ts") {
+    val a = TranscriptGen.turns(spark, 2000, 40).collect()
+    val b = TranscriptGen.turns(spark, 2000, 40).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted)) // bitwise deterministic
+    val df = TranscriptGen.turns(spark, 2000, 40)
+    val sizes = df.groupBy("conv_id").count().orderBy(desc("count"))
+      .select("count").as[Long].collect()
+    assert(sizes.head > 10 * sizes.last, s"expected skew, got head=${sizes.head} tail=${sizes.last}")
+    // dense turn_idx per conv and non-decreasing ts along turn_idx
+    val bad = df.withColumn("prev",
+        lag(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("conv_id").orderBy("turn_idx")))
+      .where(col("prev") > col("ts")).count()
+    assert(bad == 0)
+    val idxOk = df.groupBy("conv_id")
+      .agg(max("turn_idx").as("mx"), count(lit(1)).as("n"))
+      .where(col("mx") =!= col("n") - 1).count()
+    assert(idxOk == 0)
+  }
+
+  // ---- dedup ------------------------------------------------------------
+
+  val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"),      // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 0
+    (5L, "el rapido zorro marron salta sobre el perro")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val d = Dedup.exact(docs).collect()
+    assert(d.map(_.getLong(0)).toSet == Set(0L, 1L, 4L))
+    assert(d.forall(_.getLong(1) == 0L))
+    assert(d.forall(_.getLong(2) == 3L))
+  }
+
+  test("minhash LSH finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, k = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)))
+    assert(pairs.contains((0L, 2L))) // near dup shares most shingles
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard: 1.0 for exact dups, high for near dup, used to verify LSH candidates") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccard(pairs, docs, shingleN = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.4 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical texts share fingerprints; near dups within small hamming") {
+    val nd = Dedup.simhashNearDups(docs, maxDist = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(nd((0L, 1L)) == 0 && nd((0L, 4L)) == 0)
+    assert(!nd.contains((0L, 3L)))
+    // raw fingerprints: near dup (one word changed) is much closer
+    // than the unrelated doc (chunk-pigeonhole candidates only
+    // GUARANTEE recall at hamming ≤ 3, so compare distances directly)
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(0L, 2L) < ham(0L, 3L))
+    assert(ham(0L, 2L) <= 24)
+  }
+
+  // ---- similarity ---------------------------------------------------------
+
+  def embRow(id: Long, base: Array[Float], noise: Float): (Long, Array[Float]) =
+    (id, base.zipWithIndex.map { case (v, i) => v + noise * ((i * 2654435761L + id) % 7 - 3) / 100f })
+
+  test("brute-force cosine top-k: self-similar vectors rank first") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val rows = Seq(
+      embRow(0, base, 0f), embRow(1, base, 0.01f), embRow(2, base, 0.05f),
+      embRow(3, other, 0f), embRow(4, other, 0.01f))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(rows, rows.where(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    assert(top.head.getDouble(3) > 0.99)
+  }
+
+  test("LSH ANN recall: finds the true top neighbor for most queries") {
+    val rng = new scala.util.Random(1)
+    val clusters = Array.fill(5)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val rows = (0 until 200).map { i =>
+      val c = clusters(i % 5)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = rows.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(rows, queries, 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.lshTopK(rows, queries, 1, bits = 8, tables = 6)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, v) => ann.get(q).contains(v) }.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("cosine self-join near-dups") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val rows = Seq(embRow(0, base, 0f), embRow(1, base, 0.005f),
+      embRow(2, Array.tabulate(16)(i => math.cos(2 * i).toFloat), 0f))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineSelfJoin(rows, 0.995, bits = 6, tables = 8).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    assert(!pairs.exists(r => r.getLong(1) == 2L || r.getLong(0) == 2L))
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  test("token counts") {
+    val d = Seq((0L, "one two  three"), (1L, ""), (2L, "  "), (3L, "word")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .orderBy("doc_id").select("n").as[Int].collect().toSeq
+    assert(got == Seq(3, 0, 0, 1))
+  }
+
+  test("langId picks marker language; quality scores bounded") {
+    val d = Seq(
+      (0L, "the cat and the dog went to the park with a ball"),
+      (1L, "el perro y el gato en la casa de la playa"),
+      (2L, "der hund und die katze ist nicht mit dem ball"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val langs = TextAnalysis.langId(d).orderBy("doc_id")
+      .select("lang_pred").as[String].collect().toSeq
+    assert(langs == Seq("en", "es", "de", "und"))
+    val q = TextAnalysis.qualityScore(d).select("quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprint is edit-robust: near dup shares most min-hashes") {
+    val fp = TextAnalysis.fingerprint(docs, k = 2, keep = 6)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L).intersect(fp(2L)).size >= 3)
+    assert(fp(0L).intersect(fp(3L)).isEmpty)
+  }
+
+  // ---- multimodal -----------------------------------------------------------
+
+  test("multimodal plumbing: decode stub deterministic, schema+batching real") {
+    val media = Multimodal.synthMedia(spark, 100)
+    val f1 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeAndFeaturize(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.feature.toSeq).toSeq == f2.map(_.feature.toSeq).toSeq)
+    assert(f1.forall(_.decoded_ok))
+    assert(f1.forall(_.feature.length == 8))
+    assert(f1.filter(_.kind == "video").forall(_.n_sampled_frames >= 1))
+    val means = Multimodal.featureMeans(Multimodal.decodeAndFeaturize(media))
+    assert(means.count() == 3 * 8) // 3 kinds × 8 feature dims
+  }
+}

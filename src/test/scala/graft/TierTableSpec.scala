@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Point
+import graft.operators._
+import graft.tables.{RollupJob, TierTable}
+
+/** TierTable MERGE semantics: snapshot isolation, exact incremental
+  * merge, idempotent resume, manifest lineage + metrics. */
+class TierTableSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft_tier").toString
+
+  def mkPts(keyN: Int, n: Int, startSec: Long = 0): Seq[Point] =
+    (0 until n).map { i =>
+      Point(s"k${i % keyN}", t(startSec + i * 157), ((i * 7919) % 1000) / 8.0)
+    }
+
+  test("merge twice over disjoint batches == single rollup of the union") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = mkPts(3, 400)
+    val b = mkPts(3, 400, startSec = 400 * 157)
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "runA")
+    tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), "runB")
+    val got = Rollup.present(tt.read()).select("key", "bucket", "cnt", "sum_v", "mean_v", "min_v", "max_v", "std_v")
+    val want = Rollup.present(Rollup.rollupRaw((a ++ b).toDF(), "minute"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(tt.currentVersion == 1)
+  }
+
+  test("overlapping-bucket merge combines stats exactly") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = mkPts(2, 300)
+    // same time range again (same buckets) — e.g. a late-arriving shard
+    val b = mkPts(2, 300).map(p => p.copy(v = p.v + 1.0))
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "r1")
+    tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), "r2")
+    val got = Rollup.present(tt.read())
+    val want = Rollup.present(Rollup.rollupRaw((a ++ b).toDF(), "minute"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("resume with same runId is idempotent (no double counting)") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = mkPts(3, 500)
+    val partials = Rollup.rollupRaw(a.toDF(), "minute")
+    tt.merge(partials, "run1")
+    val v1 = Rollup.present(tt.read()).collect().toSet
+    tt.merge(partials, "run1") // crash-retry of the same batch
+    val v2 = Rollup.present(tt.read()).collect().toSet
+    assert(v1 == v2)
+    // but a NEW runId with the same data does merge (doubling counts)
+    tt.merge(partials, "run2")
+    val cnt1 = v1.toSeq.map(_.getAs[Long]("cnt")).sum
+    val cnt3 = Rollup.present(tt.read()).collect().map(_.getAs[Long]("cnt")).sum
+    assert(cnt3 == 2 * cnt1)
+  }
+
+  test("manifest carries lineage and row/byte metrics per partition") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    tt.merge(Rollup.rollupRaw(mkPts(3, 300).toDF(), "minute"), "runX")
+    val m = tt.currentManifest.get
+    assert(m.entries.nonEmpty)
+    assert(m.entries.forall(_.runId == "runX"))
+    assert(m.entries.forall(e => e.rows > 0 && e.bytes > 0))
+    val totalRows = m.entries.map(_.rows).sum
+    assert(totalRows == tt.read().count())
+  }
+
+  test("RollupJob full cascade == direct rollups; partial run + resume converges") {
+    val pts = (0 until 3000).map { i =>
+      Point(s"k${i % 5}", t(i * 311), ((i * 131) % 700) / 4.0)
+    }
+    val df = pts.toDF()
+
+    val rootA = tmp()
+    val jobA = new RollupJob(spark, rootA, nBuckets = 4)
+    jobA.run(df, "jobA")
+    for ((tier, unit) <- Seq((jobA.tier1m, "minute"), (jobA.tier1h, "hour"), (jobA.tier1d, "day"))) {
+      val got = Rollup.present(tier.read())
+      val want = Rollup.present(Rollup.rollupRaw(df, unit))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0, s"tier $unit")
+    }
+
+    // crash after some batches, then resume with the same runId
+    val rootB = tmp()
+    val jobB = new RollupJob(spark, rootB, nBuckets = 4)
+    jobB.runPartial(df, "jobB", maxBatches = 4)
+    jobB.run(df, "jobB") // resume
+    val got1d = Rollup.present(jobB.tier1d.read())
+    val want1d = Rollup.present(Rollup.rollupRaw(df, "day"))
+    assert(got1d.exceptAll(want1d).count() == 0 && want1d.exceptAll(got1d).count() == 0)
+  }
+}
