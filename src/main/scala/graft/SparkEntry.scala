@@ -15,7 +15,7 @@ object SparkEntry {
 
   private val sets: Seq[QuerySet] =
     Seq(RollupQueries, SeriesQueries, GapFillQueries, CodecQueries,
-      DocQueries, ScaleQueries)
+      DocQueries, ScaleQueries, AlgebraQueries)
 
   /** Flagship: full retention cascade raw→1m→1h→1d over the
     * transcripts view of sf0.001, presented at the 1d tier. */

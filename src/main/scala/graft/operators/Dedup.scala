@@ -88,22 +88,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash from word tokens (unit weights): bit j of the
-    * fingerprint = majority vote of token-hash bit j. Pure
-    * expressions: per-doc fold over tokens accumulating 64 counters
-    * would be wide; instead compute per (doc, bit) via explode —
-    * shuffle-light at one row per token. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = array((0 until 64).map(b =>
-      shiftright(col("h"), b).bitwiseAND(1L)): _*)
-    val bits = toks.select(col("doc_id"), posexplode(bitCols))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg((sum(col("col")) * 2 > count(lit(1))).cast("long").as("bit"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(expr("shiftleft(bit, cast(pos as int))")).as("simhash"))
-  }
+    * fingerprint = majority vote of token-hash bit j. Computed as one
+    * pure projection per document (token hashes once, then a 64-step
+    * fold) — zero shuffle: at 100 TB this runs entirely inside the
+    * scan's WholeStageCodegen stage, unlike an explode-per-bit shape
+    * that would multiply rows 64×. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("th", expr(
+        "transform(array_distinct(split(lower(text), '\\\\s+')), t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  sequence(0, 63), 0L,
+          |  (acc, b) -> acc + shiftleft(
+          |    CASE WHEN 2 * size(filter(th, h -> (shiftright(h, b) & 1) = 1)) > size(th)
+          |         THEN 1L ELSE 0L END, b))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxDist via 4×16-bit
     * chunk pigeonhole + exact popcount verification. */

@@ -29,6 +29,32 @@ object Ingest {
       .repartitionByRange(nPartitions, col("conv_bucket"), col("ts_day"))
       .sortWithinPartitions(col("conv_bucket"), col("ts_day"), col("conv_id"), col("turn_idx"))
 
+  /** Persist the ingest layout as a bucketed + sorted table: conv_id
+    * hash-bucketed (one file per bucket) and (conv_id, turn_idx)
+    * sorted inside buckets. Downstream consequence (asserted by
+    * BucketedCascadeSpec): the per-conversation lag() window, the
+    * rollup groupBy, and every tier cascade are all satisfied by this
+    * layout — the ENTIRE retention cascade executes with zero shuffle
+    * exchanges. Pay the corner-turn once at ingest, amortize forever.
+    */
+  def writeBucketed(transcripts: DataFrame, name: String, path: String,
+      buckets: Int): Unit =
+    transcripts
+      .repartition(buckets, col("conv_id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "conv_id").sortBy("conv_id", "turn_idx")
+      .option("path", path).saveAsTable(name)
+
+  /** Register an existing bucketed-layout location in this session's
+    * catalog (bucket metadata lives in the catalog, so each new
+    * session re-declares it over the shared files). */
+  def registerBucketed(spark: org.apache.spark.sql.SparkSession, name: String,
+      path: String, buckets: Int): Unit =
+    spark.sql(s"""CREATE TABLE IF NOT EXISTS $name (
+      conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP_NTZ)
+      USING parquet CLUSTERED BY (conv_id) SORTED BY (conv_id, turn_idx)
+      INTO $buckets BUCKETS LOCATION '$path'""")
+
   /** Per-conversation digest of turn texts under stable
     * (conv_id, turn_idx) ordering — FIXTURES.md §B.6. Sorting happens
     * inside the aggregate, so the digest is invariant to any physical

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KllAgg
+
+/** Binary element-wise Series algebra + misc Data-surface parity ops
+  * (thunder/base.py :: Data.element_wise / plus / minus / dottimes /
+  * dotdivide, ~L340–L420; Data.sample ~L430; Data.astype ~L230).
+  *
+  * Thunder's element_wise zips two identically-shaped arrays; in tall
+  * form that is an equi-join on the series coordinate (key, ts). When
+  * both sides share the ingest layout (partitioned by key) the join
+  * is co-located; otherwise it is one sort-merge exchange per side —
+  * and a broadcast when one operand is a small reference series.
+  */
+object SeriesAlgebra {
+
+  private def binop(a: DataFrame, b: DataFrame, f: (Column, Column) => Column): DataFrame =
+    a.join(b.withColumnRenamed("v", "v2"), Seq("key", "ts"))
+      .select(col("key"), col("ts"), f(col("v"), col("v2")).as("v"))
+
+  def plus(a: DataFrame, b: DataFrame): DataFrame = binop(a, b, _ + _)
+  def minus(a: DataFrame, b: DataFrame): DataFrame = binop(a, b, _ - _)
+  def dottimes(a: DataFrame, b: DataFrame): DataFrame = binop(a, b, _ * _)
+  def dotdivide(a: DataFrame, b: DataFrame): DataFrame =
+    binop(a, b, (x, y) => x / nullif(y, lit(0.0)))
+
+  /** Data.sample: seeded Bernoulli record sample. */
+  def sample(points: DataFrame, fraction: Double, seed: Long): DataFrame =
+    points.sample(withReplacement = false, fraction, seed)
+
+  /** Data.astype: cast the signal. */
+  def astype(points: DataFrame, to: String): DataFrame =
+    points.withColumn("v", col("v").cast(to))
+
+  /** Series.aggregate_by_index with an arbitrary aggregate column
+    * (thunder/series/series.py :: Series.aggregate_by_index): group
+    * each key's observations by a derived index label and apply any
+    * Spark aggregate expression. */
+  def aggregateByIndex(points: DataFrame, label: Column, agg: Column): DataFrame =
+    points.groupBy(col("key"), label.as("label")).agg(agg.as("v"))
+}
+
+/** Rollup tiers carrying KLL percentile sketches alongside the exact
+  * mergeable stats (FIXTURES.md §A.2 tier row: …, m2, kll BINARY).
+  * The sketch column merges through the cascade exactly like the
+  * decimal sums — kll_sketch at raw, kll_merge at every coarser tier.
+  */
+object SketchedRollup {
+
+  def rollupRaw(points: DataFrame, unit: String, k: Int = 200): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    points
+      .where(col("v").isNotNull)
+      .groupBy(col("key"), Rollup.bucket(col("ts"), unit).as("bucket"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(vd).as("sum_d"),
+        sum(vd * vd).as("sumsq_d"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        KllAgg.kll_sketch(col("v"), k).as("kll"))
+  }
+
+  def cascade(finer: DataFrame, unit: String, k: Int = 200): DataFrame =
+    finer
+      .groupBy(col("key"), Rollup.bucket(col("bucket"), unit).as("bucket"))
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_d")).as("sum_d"),
+        sum(col("sumsq_d")).as("sumsq_d"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"),
+        KllAgg.kll_merge(col("kll"), k).as("kll"))
+
+  /** Present with percentiles from the sketch. */
+  def present(rollup: DataFrame, quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val base = Rollup.present(rollup.drop("kll"))
+    val kCols = Seq(col("key"), col("bucket"),
+      KllAgg.kll_n(col("kll")).as("kll_n")) ++ quantiles.map(q =>
+      KllAgg.kll_quantile(col("kll"), q).as(s"p${(q * 100).toInt}"))
+    val withK = rollup.select(kCols: _*)
+    base.join(withK, Seq("key", "bucket"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.synth.TranscriptGen
+
+/** The ingest-layout contract: with transcripts stored bucketed by
+  * conv_id and sorted by (conv_id, turn_idx), the latency window, the
+  * 1m rollup and both tier cascades run with ZERO shuffle exchanges,
+  * and the results equal the layout-naive plan bit-for-bit. */
+class BucketedCascadeSpec extends SparkSpecBase {
+
+  def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val p = df.queryExecution.executedPlan.toString
+    p.sliding("Exchange".length).count(_ == "Exchange") -
+      p.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
+  }
+
+  test("bucketed layout: full cascade has zero shuffles and exact results") {
+    val dir = Files.createTempDirectory("graft_bkt_spec").toString
+    val tr = TranscriptGen.turns(spark, 50000, 300, partitions = 8)
+    Ingest.writeBucketed(tr, "spec_turns_bkt", s"$dir/turns", buckets = 8)
+
+    val bucketed = spark.table("spec_turns_bkt")
+    val m1b = Rollup.rollupRaw(Signals.latencyPoints(bucketed), "minute")
+    assert(shuffles(m1b) == 0, "raw→1m should be shuffle-free on the ingest layout")
+
+    // exactness: same rows as the shuffled plan over the raw frame
+    val m1plain = Rollup.rollupRaw(Signals.latencyPoints(tr), "minute")
+    assert(m1b.exceptAll(m1plain).count() == 0 && m1plain.exceptAll(m1b).count() == 0)
+
+    // cascade keyed by the same conv key — also shuffle-free
+    assert(shuffles(Rollup.cascade(m1b, "hour")) == 0)
+    assert(shuffles(Rollup.cascade(Rollup.cascade(m1b, "hour"), "day")) == 0)
+  }
+
+  test("registerBucketed re-declares the layout for a fresh catalog") {
+    val dir = Files.createTempDirectory("graft_bkt_spec2").toString
+    val tr = TranscriptGen.turns(spark, 20000, 100, partitions = 4)
+    Ingest.writeBucketed(tr, "spec_turns_bkt_w2", s"$dir/turns", buckets = 4)
+    Ingest.registerBucketed(spark, "spec_turns_bkt_r2", s"$dir/turns", 4)
+    val viaDdl = Rollup.rollupRaw(Signals.latencyPoints(spark.table("spec_turns_bkt_r2")), "minute")
+    assert(shuffles(viaDdl) == 0)
+    assert(viaDdl.count() > 0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.Point
+import graft.operators._
+
+class SeriesAlgebraSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  val xs = Seq(1.0, 2.0, 4.0, 7.0, 11.0, 16.0)
+  def pts(k: String, vs: Seq[Double]) =
+    vs.zipWithIndex.map { case (v, i) => Point(k, t(i * 60), v) }.toDF()
+
+  test("element-wise plus/minus/dottimes/dotdivide on aligned series") {
+    val a = pts("a", xs)
+    val b = pts("a", xs.map(_ * 2))
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ts").select("v").as[Double].collect().toSeq
+    assert(vals(SeriesAlgebra.plus(a, b)) == xs.map(_ * 3))
+    assert(vals(SeriesAlgebra.minus(b, a)) == xs)
+    assert(vals(SeriesAlgebra.dottimes(a, a)) == xs.map(x => x * x))
+    assert(vals(SeriesAlgebra.dotdivide(b, a)) == xs.map(_ => 2.0))
+  }
+
+  test("dotdivide by zero yields null, not an ANSI error") {
+    val a = pts("a", Seq(6.0))
+    val z = pts("a", Seq(0.0))
+    val got = SeriesAlgebra.dotdivide(a, z).select("v").as[Option[Double]].collect()
+    assert(got.toSeq == Seq(None))
+  }
+
+  test("sketched rollup cascade: kll_n tracks cnt exactly through tiers") {
+    val p = (0 until 2000).map { i =>
+      Point(s"k${i % 3}", t(i * 97), ((i * 31) % 500) / 4.0)
+    }.toDF()
+    val m1 = SketchedRollup.rollupRaw(p, "minute")
+    val d1 = SketchedRollup.cascade(SketchedRollup.cascade(m1, "hour"), "day")
+    val pres = SketchedRollup.present(d1).collect()
+    assert(pres.nonEmpty)
+    pres.foreach { r =>
+      assert(r.getAs[Long]("kll_n") == r.getAs[Long]("cnt"))
+      val p50 = r.getAs[Double]("p50")
+      assert(p50 >= r.getAs[Double]("min_v") && p50 <= r.getAs[Double]("max_v"))
+    }
+    // quantile sanity vs exact percentile on a single bucket
+    val one = (0 until 150).map(i => Point("z", t(i.toLong), i.toDouble)).toDF()
+    val pr = SketchedRollup.present(SketchedRollup.rollupRaw(one, "day")).collect().head
+    assert(math.abs(pr.getAs[Double]("p50") - 74.5) <= 1.5)
+  }
+
+  test("aggregateByIndex generic grouped aggregation") {
+    val got = SeriesAlgebra.aggregateByIndex(pts("a", xs),
+        (col("ts").cast("long") % 120 === 0).cast("int"), sum(col("v")))
+      .orderBy("label").select("v").as[Double].collect().toSeq
+    // even minutes: 1+4+11=16? positions 0,2,4 → label 1; 1,3,5 → label 0
+    assert(got == Seq(2.0 + 7.0 + 16.0, 1.0 + 4.0 + 11.0))
+  }
+}

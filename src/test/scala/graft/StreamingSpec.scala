@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Point
+import graft.operators.Rollup
+import graft.streaming.StreamingRollup
+import graft.tables.TierTable
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val pointSchema = StructType(Seq(
+    StructField("key", StringType), StructField("ts", TimestampType),
+    StructField("v", DoubleType)))
+
+  test("streamed micro-batch cascade converges to the batch rollup") {
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val tierRoot = Files.createTempDirectory("graft_stream_tier").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val pts = (0 until 3000).map { i =>
+      Point(s"k${i % 4}", t(i * 53), ((i * 17) % 300) / 4.0)
+    }
+    // several source files → several input splits
+    pts.grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF().write.parquet(s"$srcDir/part$i")
+    }
+    val stream = spark.readStream.schema(pointSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$srcDir/part*")
+    val q = StreamingRollup.cascadeWriter(stream, tierRoot, "stream1")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination(120000)
+
+    val batch = pts.toDF()
+    for ((tier, unit) <- Seq(("tier_1m", "minute"), ("tier_1h", "hour"), ("tier_1d", "day"))) {
+      val got = Rollup.present(new TierTable(spark, s"$tierRoot/$tier", 8).read())
+      val want = Rollup.present(Rollup.rollupRaw(batch, unit))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"tier $unit diverged")
+    }
+  }
+
+  test("watermarked windowed rollup emits exact finalized windows") {
+    val srcDir = Files.createTempDirectory("graft_stream_src2").toString
+    val pts = (0 until 1200).map { i =>
+      Point(s"k${i % 2}", t(i * 31), (i % 50).toDouble)
+    }
+    pts.toDF().write.parquet(s"$srcDir/all")
+    val stream = spark.readStream.schema(pointSchema).parquet(s"$srcDir/*")
+    val agg = StreamingRollup.windowedRollup(stream, "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("win_out")
+      .select("key", "bucket", "cnt", "sum_d", "sumsq_d", "min_v", "max_v")
+    // append mode withholds windows newer than the watermark; all
+    // emitted windows must match the batch rollup rows exactly
+    val want = Rollup.rollupRaw(pts.toDF(), "minute")
+    assert(got.exceptAll(want).count() == 0)
+    assert(got.count() > 0)
+  }
+}
