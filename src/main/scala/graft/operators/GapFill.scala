@@ -56,16 +56,19 @@ object GapFill {
     val g = grid(obs, step)
     val wPrev = Window.partitionBy(col("key")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next observation" as a reverse cumulative last(): a forward
+    // first(ignoreNulls) over (current → unboundedFollowing) rescans
+    // the tail per row — O(n·gap); the desc running frame is O(n)
+    val wNextDesc = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = g.join(obs, Seq("key", "bucket"), "left")
       .select(col("key"), col("bucket"), col("v"),
         last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
         last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
           .over(wPrev).as("pb"),
-        first(col("v"), ignoreNulls = true).over(wNext).as("nv"),
-        first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
-          .over(wNext).as("nb"))
+        last(col("v"), ignoreNulls = true).over(wNextDesc).as("nv"),
+        last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(wNextDesc).as("nb"))
     val frac = (unix_micros(col("bucket").cast("timestamp")) -
       unix_micros(col("pb").cast("timestamp"))).cast("double") /
       (unix_micros(col("nb").cast("timestamp")) -

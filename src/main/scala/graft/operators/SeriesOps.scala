@@ -226,6 +226,34 @@ object SeriesOps {
       .agg(sum(col("re_t")).as("re"), sum(col("im_t")).as("im"))
   }
 
+  /** Sliding-window statistics over time order — the 1-D analogues of
+    * thunder's uniform_filter / median_filter
+    * (thunder/images/images.py :: Images.uniform_filter,
+    * :: Images.median_filter — SURVEY.md §2.5 "windowed statistics").
+    * Rolling mean uses an exact decimal window sum (order-independent
+    * → engine-portable); rolling median is numpy-style interpolated
+    * percentile over the row frame. */
+  def rollingStats(points: DataFrame, half: Int): DataFrame = {
+    val w = wKeyOrd.rowsBetween(-half, half)
+    val vd = col("v").cast("decimal(18,6)")
+    points
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_mean",
+        sum(vd).over(w).cast("double") / col("roll_n"))
+      .withColumn("roll_median", expr("percentile(v, 0.5)").over(w))
+      .withColumn("roll_min", min(col("v")).over(w))
+      .withColumn("roll_max", max(col("v")).over(w))
+  }
+
+  /** Series.crosscorr(signal, lag) (:: Series.crosscorr) in
+    * autocorrelation form for every shift 1..maxLag: Pearson r between
+    * the series and itself shifted by `lag` positions, closed-form
+    * from exact sums. Output (key, lag, r). */
+  def crosscorr(points: DataFrame, maxLag: Int): DataFrame =
+    (1 to maxLag).map { l =>
+      autocorr(points, l).select(col("key"), lit(l).as("lag"), col("r"))
+    }.reduce(_.unionByName(_))
+
   /** Series.mean_by_window(indices, window)
     * (:: Series.mean_by_window): for each given center position,
     * average the values at center+offset for offset ∈ [−half, half]

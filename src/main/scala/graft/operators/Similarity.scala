@@ -50,17 +50,29 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table,
-    * bit, dim): a zero-mean value derived from xxhash64. */
-  private def hyper(table: Int, bit: Int, dim: Column): Column =
-    (pmod(xxhash64(concat_ws(":", lit(table), lit(bit), dim.cast("string"))),
-      lit(2000001L)).cast("double") - 1000000.0) / 1000000.0
+  /** Deterministic pseudo-random hyperplane for (table, bit): `dim`
+    * zero-mean components from a seeded SplitMix64 — computed ONCE on
+    * the driver and embedded as an array literal, so the per-row work
+    * is a single zip_with dot product (the previous per-row
+    * hash-of-string formulation cost ~5 ms/vector at 72 planes). */
+  private def plane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    var s = table.toLong * 0x9E3779B97F4A7C15L + bit * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    Array.fill(dim) {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) // ~uniform in [-1, 1]
+    }
+  }
 
-  /** Sign-LSH bucket id for one hash table: `bits` sign bits. */
-  private def bucketFor(emb: Column, table: Int, bits: Int): Column = {
+  /** Sign-LSH bucket id for one hash table: `bits` sign bits against
+    * literal hyperplanes. */
+  private def bucketFor(emb: Column, table: Int, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(zip_with(emb, sequence(lit(0), size(emb) - 1),
-        (x, i) => x.cast("double") * hyper(table, b, i)),
+      val p = lit(plane(table, b, dim))
+      val proj = aggregate(zip_with(emb, p, (x, h) => x.cast("double") * h),
         lit(0.0d), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
@@ -70,17 +82,18 @@ object Similarity {
   /** ANN top-k via multi-table sign-LSH + exact re-rank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 12, tables: Int = 4): DataFrame = {
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       l2norm(col("embedding")).as("q_nrm"))
     val cBuckets = c.select(col("vec_id"), col("emb"), col("nrm"),
       posexplode(array((0 until tables).map(t =>
-        bucketFor(col("emb"), t, bits)): _*)))
+        bucketFor(col("emb"), t, bits, dim)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val qBuckets = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
       posexplode(array((0 until tables).map(t =>
-        bucketFor(col("q_emb"), t, bits)): _*)))
+        bucketFor(col("q_emb"), t, bits, dim)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val cand = cBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
@@ -99,11 +112,12 @@ object Similarity {
     * sign-LSH candidate buckets + exact verification. */
   def cosineSelfJoin(embeddings: DataFrame, threshold: Double,
       bits: Int = 10, tables: Int = 6): DataFrame = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
     val buckets = e.select(col("vec_id"), col("emb"), col("nrm"),
       posexplode(array((0 until tables).map(t =>
-        bucketFor(col("emb"), t, bits)): _*)))
+        bucketFor(col("emb"), t, bits, dim)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b,

@@ -88,9 +88,9 @@ object TextAnalysis {
     * window, keep the minimum `keep` hashes (a winnowing-style
     * sketch) — robust to local edits, array<long> output. */
   def fingerprint(docs: DataFrame, k: Int = 5, keep: Int = 8,
-      textCol: String = "text"): DataFrame = {
-    val sh = Dedup.shingles(col(textCol), k)
-    docs.select(col("doc_id"),
-      slice(array_sort(transform(sh, s => xxhash64(s))), 1, keep).as("fingerprint"))
-  }
+      textCol: String = "text"): DataFrame =
+    Dedup.withShingles(docs.withColumnRenamed(textCol, "text"), k)
+      .select(col("doc_id"),
+        slice(array_sort(transform(col("sh"), s => xxhash64(s))), 1, keep)
+          .as("fingerprint"))
 }

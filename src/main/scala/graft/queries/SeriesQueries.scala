@@ -56,6 +56,13 @@ object SeriesQueries extends QuerySet {
       val centers = s.range(1, 81, 20).select(col("id").as("center")) // 1,21,41,61
       ordered(SeriesOps.meanByWindow(eventPoints(s, dir), centers, 2))
     }),
+    "q_rolling_stats" -> ((s, dir) =>
+      ordered(SeriesOps.rollingStats(eventPoints(s, dir), 2)
+        .select(col("key"), col("ts"), col("roll_n"), col("roll_mean"),
+          round(col("roll_median"), 6).as("roll_median"),
+          col("roll_min"), col("roll_max")))),
+    "q_crosscorr" -> ((s, dir) =>
+      ordered(SeriesOps.crosscorr(eventPoints(s, dir), 3))),
     "q_mean_across_keys" -> ((s, dir) =>
       ordered(SeriesOps.meanAcrossKeys(eventPoints(s, dir), "hour"))),
     "q_mean_by_hod" -> ((s, dir) =>
@@ -141,6 +148,32 @@ object SeriesQueries extends QuerySet {
          |SELECT key, (sab - sa * sb / n) /
          |       (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) AS r
          |FROM ag ORDER BY key, r""".stripMargin,
+    "q_rolling_stats" ->
+      s"""$ptsCte SELECT key, ts,
+         |  COUNT(*) OVER w AS roll_n,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS roll_mean,
+         |  round(quantile_cont(v, 0.5) OVER w, 6) AS roll_median,
+         |  MIN(v) OVER w AS roll_min, MAX(v) OVER w AS roll_max
+         |FROM pts
+         |WINDOW w AS (PARTITION BY key ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         |ORDER BY key, ts, roll_n, roll_mean, roll_median, roll_min, roll_max""".stripMargin,
+    "q_crosscorr" -> {
+      def lagSql(l: Int) =
+        s"""SELECT key, $l AS lag, (sab - sa * sb / n) /
+           |       (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) AS r
+           |FROM (
+           |  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+           |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+           |         CAST(SUM(CAST(v2 AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+           |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v2 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sab,
+           |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS saa,
+           |         CAST(CAST(SUM(CAST(v2 AS DECIMAL(19,6)) * CAST(v2 AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sbb
+           |  FROM (SELECT key, v, lead(v, $l) OVER (PARTITION BY key ORDER BY ts) AS v2
+           |        FROM pts QUALIFY v2 IS NOT NULL)
+           |  GROUP BY key)""".stripMargin
+      s"""$ptsCte ${(1 to 3).map(lagSql).mkString("\n", "\nUNION ALL\n", "\n")}
+         |ORDER BY key, lag, r""".stripMargin
+    },
     "q_convolve" ->
       s"""$ptsCte SELECT key, ts,
          |  coalesce(lag(v, 1) OVER w, 0.0) * 0.25 + v * 0.5 +
