@@ -33,17 +33,25 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
     points.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
       .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
 
-  /** Run (or resume) the cascade over `points` for all its days. */
-  def run(points: DataFrame, runId: String): Unit = {
+  /** Run (or resume) the cascade over `points` for all its days.
+    * `sketched = true` carries a KLL percentile-sketch column through
+    * every tier alongside the exact stats. */
+  def run(points: DataFrame, runId: String, sketched: Boolean = false): Unit = {
     val days = distinctDays(points)
     days.foreach { day =>
       val lineage = s"$runId/$day"
       val dayPts = points.where(date_format(col("ts"), "yyyy-MM-dd") === day)
-      val m1 = Rollup.rollupRaw(dayPts, "minute")
+      val m1 =
+        if (sketched) graft.operators.SketchedRollup.rollupRaw(dayPts, "minute")
+        else Rollup.rollupRaw(dayPts, "minute")
       tier1m.merge(m1, lineage)
-      val h1 = Rollup.cascade(m1, "hour")
+      val h1 =
+        if (sketched) graft.operators.SketchedRollup.cascade(m1, "hour")
+        else Rollup.cascade(m1, "hour")
       tier1h.merge(h1, lineage)
-      val d1 = Rollup.cascade(h1, "day")
+      val d1 =
+        if (sketched) graft.operators.SketchedRollup.cascade(h1, "day")
+        else Rollup.cascade(h1, "day")
       tier1d.merge(d1, lineage)
     }
   }

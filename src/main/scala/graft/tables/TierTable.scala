@@ -170,14 +170,21 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
         case Some(ex) => ex.unionByName(updTodo)
         case None => updTodo
       }
+      // optional percentile-sketch column merges right alongside the
+      // exact sums (kll is mergeable — FIXTURES.md §A.2 tier row)
+      val baseAggs = Seq(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_d")).as("sum_d"),
+        sum(col("sumsq_d")).as("sumsq_d"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+      val aggs =
+        if (upd.columns.contains("kll"))
+          baseAggs :+ graft.functions.KllAgg.kll_merge(col("kll")).as("kll")
+        else baseAggs
       val merged = combined
         .groupBy(col("pb"), col("pd"), col("key"), col("bucket"))
-        .agg(
-          sum(col("cnt")).as("cnt"),
-          sum(col("sum_d")).as("sum_d"),
-          sum(col("sumsq_d")).as("sumsq_d"),
-          min(col("min_v")).as("min_v"),
-          max(col("max_v")).as("max_v"))
+        .agg(aggs.head, aggs.tail: _*)
         .cache()
 
       val counts = merged.groupBy(col("pb"), col("pd")).count().collect()
