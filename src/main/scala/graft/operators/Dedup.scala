@@ -117,16 +117,18 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** 64-bit SimHash from word tokens (unit weights): bit j of the
-    * fingerprint = majority vote of token-hash bit j. Computed as one
-    * pure projection per document (token hashes once, then a 64-step
-    * fold) — zero shuffle: at 100 TB this runs entirely inside the
-    * scan's WholeStageCodegen stage, unlike an explode-per-bit shape
-    * that would multiply rows 64×. */
+  /** 64-bit SimHash from word tokens, term-frequency weighted
+    * (Charikar's published scheme: bit j = sign of Σ tf(t)·(±1 for
+    * token-hash bit j) — keeping duplicate tokens in the hash array
+    * IS the tf weighting). Computed as one pure projection per
+    * document (token hashes once, then a 64-step fold) — zero
+    * shuffle: at 100 TB this runs entirely inside the scan's
+    * WholeStageCodegen stage, unlike an explode-per-bit shape that
+    * would multiply rows 64×. */
   def simhash(docs: DataFrame): DataFrame =
     docs
       .withColumn("th", expr(
-        "transform(array_distinct(split(lower(text), '\\\\s+')), t -> xxhash64(t))"))
+        "transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
       .withColumn("simhash", expr(
         """aggregate(
           |  sequence(0, 63), 0L,

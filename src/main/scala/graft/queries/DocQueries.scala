@@ -65,7 +65,10 @@ object DocQueries extends QuerySet {
     "q_minhash_lsh" -> ((s, dir) =>
       ordered(Dedup.minhashLsh(Tables.documents(s, dir), k = 32, bands = 8))),
     "q_simhash_neardups" -> ((s, dir) =>
-      ordered(Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 10))),
+      // maxDist 3 = the 4×16-bit pigeonhole's guaranteed-recall regime;
+      // the synthetic corpus is adversarially self-similar (small
+      // vocabulary), so wider radii legitimately explode the pair set
+      ordered(Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 3))),
     "q_fingerprint" -> ((s, dir) =>
       ordered(TextAnalysis.fingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), concat_ws(",", transform(col("fingerprint"),

@@ -29,18 +29,30 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
   val tier1h = new TierTable(spark, s"$root/tier_1h", nBuckets)
   val tier1d = new TierTable(spark, s"$root/tier_1d", nBuckets)
 
-  def distinctDays(points: DataFrame): Seq[String] =
-    points.select(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+  /** Batch label pattern per granularity. Day batches suit real
+    * transcript tables (bounded conversation lifetimes + partition
+    * pruning); coarser granularities keep batch counts sane for
+    * synthetic corpora whose power-law head conversations span years. */
+  private def pattern(unit: String): String = unit match {
+    case "day" => "yyyy-MM-dd"
+    case "month" => "yyyy-MM"
+    case "year" => "yyyy"
+    case u => throw new IllegalArgumentException(s"batchUnit $u")
+  }
+
+  def distinctDays(points: DataFrame, batchUnit: String = "day"): Seq[String] =
+    points.select(date_format(col("ts"), pattern(batchUnit)).as("d"))
       .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
 
   /** Run (or resume) the cascade over `points` for all its days.
     * `sketched = true` carries a KLL percentile-sketch column through
     * every tier alongside the exact stats. */
-  def run(points: DataFrame, runId: String, sketched: Boolean = false): Unit = {
-    val days = distinctDays(points)
+  def run(points: DataFrame, runId: String, sketched: Boolean = false,
+      batchUnit: String = "day"): Unit = {
+    val days = distinctDays(points, batchUnit)
     days.foreach { day =>
       val lineage = s"$runId/$day"
-      val dayPts = points.where(date_format(col("ts"), "yyyy-MM-dd") === day)
+      val dayPts = points.where(date_format(col("ts"), pattern(batchUnit)) === day)
       val m1 =
         if (sketched) graft.operators.SketchedRollup.rollupRaw(dayPts, "minute")
         else Rollup.rollupRaw(dayPts, "minute")
@@ -59,7 +71,7 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
   /** Run only the first `maxBatches` day batches (crash-simulation /
     * incremental arrival). */
   def runPartial(points: DataFrame, runId: String, maxBatches: Int): Unit = {
-    distinctDays(points).take(maxBatches).foreach { day =>
+    distinctDays(points, "day").take(maxBatches).foreach { day =>
       val lineage = s"$runId/$day"
       val dayPts = points.where(date_format(col("ts"), "yyyy-MM-dd") === day)
       val m1 = Rollup.rollupRaw(dayPts, "minute")
