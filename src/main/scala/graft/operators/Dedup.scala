@@ -162,4 +162,18 @@ object Dedup {
     * completeness). */
   def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame =
     Similarity.cosineSelfJoin(embeddings, threshold)
+
+  /** End-to-end near-duplicate pipeline: MinHash-LSH candidate pairs
+    * → exact n-gram Jaccard verification → pairs ≥ threshold with the
+    * canonical (min-id) representative. The standard two-stage shape:
+    * the O(n²) metric is only ever computed on bucket-collision
+    * candidates. */
+  def nearDuplicates(docs: DataFrame, jaccardMin: Double = 0.5,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val cand = minhashLsh(docs, k, bands, shingleN).select("doc_a", "doc_b")
+    jaccard(cand, docs, shingleN)
+      .where(col("jaccard") >= jaccardMin)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        least(col("doc_a"), col("doc_b")).as("canonical_id"))
+  }
 }

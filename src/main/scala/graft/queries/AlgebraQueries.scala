@@ -30,6 +30,26 @@ object AlgebraQueries extends QuerySet {
     "q_sample" -> ((s, dir) =>
       ordered(SeriesAlgebra.sample(eventPoints(s, dir), 0.1, seed = 7)
         .select("key", "ts", "v"))),
+    // top-k hot keys (SURVEY §2.6 limit/top-k; feeds salting decisions)
+    "q_top_keys" -> ((s, dir) =>
+      eventPoints(s, dir).groupBy(col("key"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_v"))
+        .orderBy(desc("cnt"), col("key")).limit(10)),
+    // anti join: keys active in the first week but silent in the second
+    "q_anti_join" -> ((s, dir) => {
+      val p = eventPoints(s, dir)
+      val w1 = p.where(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp_ntz"))
+      val w2 = p.where(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp_ntz") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+      w1.select("key").distinct()
+        .join(w2.select("key").distinct(), Seq("key"), "left_anti")
+        .orderBy("key")
+    }),
+    "q_neardup_verified" -> ((s, dir) =>
+      ordered(Dedup.nearDuplicates(graft.Tables.documents(s, dir), 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"), col("canonical_id")))),
     "q_tier_kll_cascade" -> ((s, dir) => {
       val m1 = SketchedRollup.rollupRaw(eventPoints(s, dir), "minute")
       val d1 = SketchedRollup.cascade(SketchedRollup.cascade(m1, "hour"), "day")
@@ -49,5 +69,19 @@ object AlgebraQueries extends QuerySet {
     "q_aggregate_by_index" ->
       s"""$ptsCte SELECT key, CAST(day(ts) AS INT) AS label, MAX(v) AS v
          |FROM pts GROUP BY 1, 2 ORDER BY key, label, v""".stripMargin,
+    "q_top_keys" ->
+      s"""$ptsCte SELECT key, COUNT(*) AS cnt,
+         |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+         |FROM pts GROUP BY key ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
+    "q_anti_join" ->
+      s"""$ptsCte
+         |SELECT DISTINCT key FROM pts WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+         |EXCEPT
+         |SELECT DISTINCT key FROM pts
+         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |ORDER BY key""".stripMargin,
+    // q_neardup_verified: LSH candidates use Spark xxhash64 signatures
+    // (not SQL-reproducible) → rows-only; jaccard verification itself
+    // is oracle-checked by q_ngram_jaccard.
   )
 }

@@ -97,4 +97,18 @@ class TierTableSpec extends SparkSpecBase {
     val want1d = Rollup.present(Rollup.rollupRaw(df, "day"))
     assert(got1d.exceptAll(want1d).count() == 0 && want1d.exceptAll(got1d).count() == 0)
   }
+
+  test("time-pruned read scans only in-range day partitions") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    // two batches two weeks apart
+    tt.merge(Rollup.rollupRaw(mkPts(2, 200).toDF(), "minute"), "r1")
+    tt.merge(Rollup.rollupRaw(mkPts(2, 200, startSec = 14L * 86400).toDF(), "minute"), "r2")
+    val all = tt.read().count()
+    val firstWeek = tt.read("2024-01-01", "2024-01-07").count()
+    val secondHalf = tt.read("2024-01-10", "2024-02-28").count()
+    assert(firstWeek > 0 && secondHalf > 0)
+    assert(firstWeek + secondHalf == all)
+    assert(tt.read("2030-01-01", "2030-12-31").count() == 0)
+  }
 }
