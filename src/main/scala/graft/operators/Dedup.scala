@@ -138,23 +138,36 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxDist via 4×16-bit
-    * chunk pigeonhole + exact popcount verification. */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * chunk pigeonhole + exact popcount verification.
+    *
+    * `maxBucket` caps candidate-bucket occupancy (standard production
+    * LSH guard): a (chunk, value) bucket holding more than `maxBucket`
+    * docs contributes O(bucket²) candidate pairs and almost always
+    * marks boilerplate/degenerate content; such buckets are skipped
+    * (bounded recall loss, bounded worst-case cost — without the cap
+    * one hot bucket makes the self-join quadratic). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sh = simhash(docs)
     val chunkCols = array((0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
+    val wBucket = Window.partitionBy(col("chunk"), col("cval"))
     val chunks = sh.select(col("doc_id"), col("simhash"), posexplode(chunkCols))
       .select(col("doc_id"), col("simhash"), col("pos").as("chunk"), col("col").as("cval"))
+      .withColumn("occ", count(lit(1)).over(wBucket))
+      .where(col("occ") <= maxBucket)
+      .drop("occ")
     val a = chunks.as("a"); val b = chunks.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      // filter BEFORE deduplicating multi-chunk matches: bit_count is
+      // cheap per candidate row, distinct is a shuffle — keep it on
+      // the (small) surviving pair set
       .where(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Embedding cosine near-dup: pairs with cosine ≥ threshold via the
