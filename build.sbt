@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: 19% faster than G1 on the decimal-heavy
+  // batch aggregates (measured at 64M turns, BENCH.md)
+  "-XX:+UseParallelGC",
 )

@@ -145,6 +145,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // session warmup so the alphabetically-first query doesn't absorb
+    // JIT/codegen/scheduler startup (~5 s otherwise)
+    forceRun(Tables.events(spark, sfDir).limit(10000))
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
     // noop write, not count(): count() lets Catalyst prune the very
     // projections being measured (a pure-projection query would time
     // as a row-count scan)
