@@ -29,11 +29,13 @@ object LocalOracle {
     (xs.length.toLong, ds.sum, ds.map(d => d * d).sum, xs.min, xs.max)
   }
 
-  /** Std as the engine presents it: derived from exact decimal sums. */
+  /** Std as the engine presents it: derived from exact decimal sums,
+    * with sumsq rescaled to scale 6 before the double cast (mirrors
+    * Rollup.present's cross-engine-safe rescale). */
   def stdPresented(xs: Seq[Double]): Double = {
     val (n, s, sq, _, _) = decimalStats(xs)
     val m = s.toDouble / n
-    val ex2 = sq.toDouble / n
+    val ex2 = sq.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / n
     math.sqrt(math.max(ex2 - m * m, 0.0))
   }
 
@@ -117,7 +119,10 @@ object LocalOracle {
   def interp(grid: Seq[Long], obs: Map[Long, Double]): Seq[Option[Double]] = {
     val ks = obs.keys.toSeq.sorted
     grid.map { g =>
-      ks.lastOption.filter(_ <= g) match {
+      // leading-gap guard: None only while g precedes the FIRST
+      // observation (headOption, not lastOption — the latter made the
+      // interpolation branch unreachable for any g before the last key)
+      ks.headOption.filter(_ <= g) match {
         case None => None
         case Some(_) =>
           val prevK = ks.filter(_ <= g).last

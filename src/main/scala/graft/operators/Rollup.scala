@@ -74,10 +74,15 @@ object Rollup {
         max(col("max_v")).as("max_v"))
 
   /** Derive presentation columns (mean, population stddev) from the
-    * mergeable sums. All scalar IEEE ops — deterministic. */
+    * mergeable sums. All scalar IEEE ops — deterministic. sumsq_d is
+    * rescaled from its accumulated scale 12 to the true scale 6 BEFORE
+    * the double cast: a scale-12 unscaled value crosses 2^53 long
+    * before the scale-6 sums do, and wide-decimal→double casts are not
+    * correctly rounded in every engine past that point (the DuckDB
+    * oracle mirrors this rescale — see RollupQueries.presentSql). */
   def present(rollup: DataFrame): DataFrame = {
     val mean = col("sum_d").cast("double") / col("cnt")
-    val ex2 = col("sumsq_d").cast("double") / col("cnt")
+    val ex2 = col("sumsq_d").cast("decimal(38,6)").cast("double") / col("cnt")
     rollup.select(
       col("key"),
       col("bucket"),

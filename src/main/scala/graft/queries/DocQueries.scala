@@ -108,8 +108,12 @@ object DocQueries extends QuerySet {
         |FROM h QUALIFY n_dups > 1
         |ORDER BY doc_id, canonical_id, n_dups""".stripMargin,
     "q_token_stats" ->
+      // the trailing CASE mirrors TextAnalysis.tokenCount's empty-text
+      // correction: splitting '' yields [''] (count 1) in both engines,
+      // but the operator defines empty/whitespace-only text as 0 tokens
       """SELECT doc_id,
-        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |            - CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_tokens,
         |       CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id, n_tokens, n_chars_m""".stripMargin,
     "q_quality" ->
@@ -150,9 +154,10 @@ object DocQueries extends QuerySet {
         |FROM sc ORDER BY doc_id, lang_pred""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
-        |  SELECT doc_id, list_distinct(
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
         |    [array_to_string(toks[i+1:i+3], ' ')
-        |     for i in range(0, greatest(len(toks)-3, 0)+1)]) AS s
+        |     for i in range(0, greatest(len(toks)-3, 0)+1)])
+        |    ELSE [] END AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
         |        FROM documents)
         |)

@@ -10,31 +10,44 @@ import Q._
 /** Rollup/tier-cascade queries — the engine's headline operators. */
 object RollupQueries extends QuerySet {
 
-  /** DuckDB SQL computing the 1m mergeable rollup of events. */
+  /** DuckDB SQL computing the 1m mergeable rollup of events.
+    * The sumsq multiply widens one operand to DECIMAL(19,6) so the
+    * product is computed in int128 regardless of the DuckDB build's
+    * int64-multiply fast path (known quirk — CLAUDE.md). */
   private val ev1mCte: String =
     """WITH r1m AS (
       |  SELECT CAST(user_id AS VARCHAR) AS key,
       |         date_trunc('minute', ts) AS bucket,
       |         COUNT(*) AS cnt,
       |         SUM(CAST(value AS DECIMAL(18,6))) AS sum_d,
-      |         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sumsq_d,
+      |         SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))) AS sumsq_d,
       |         MIN(value) AS min_v, MAX(value) AS max_v
       |  FROM events GROUP BY 1, 2
       |)""".stripMargin
 
+  /** CAST(SUM(cnt) AS BIGINT): DuckDB's SUM over BIGINT returns
+    * HUGEINT, which pandas renders as float64 — the driver comparator
+    * then hashes `2.0` against Spark's int64 `2` and flags a mismatch
+    * even though every value is identical (the r01 cascade failure).
+    * Spark's sum(long) stays long, so pin the oracle to BIGINT too. */
   private def cascadeCte(name: String, from: String, unit: String): String =
     s"""$name AS (
        |  SELECT key, date_trunc('$unit', bucket) AS bucket,
-       |         SUM(cnt) AS cnt, SUM(sum_d) AS sum_d, SUM(sumsq_d) AS sumsq_d,
+       |         CAST(SUM(cnt) AS BIGINT) AS cnt, SUM(sum_d) AS sum_d, SUM(sumsq_d) AS sumsq_d,
        |         MIN(min_v) AS min_v, MAX(max_v) AS max_v
        |  FROM $from GROUP BY 1, 2
        |)""".stripMargin
 
+  /** Presentation SQL. sumsq_d (DECIMAL(38,12)) is rescaled to its
+    * true scale 6 BEFORE the DOUBLE cast: DuckDB's wide-decimal→double
+    * cast is not correctly rounded once the unscaled value exceeds
+    * 2^53, and a scale-12 sum of squares crosses that long before the
+    * scale-6 sums do. Mirrors [[graft.operators.Rollup.present]]. */
   private def presentSql(r: String, withStd: Boolean = true): String = {
     val std =
       if (withStd)
         """,
-          |       sqrt(greatest(CAST(sumsq_d AS DOUBLE) / cnt -
+          |       sqrt(greatest(CAST(CAST(sumsq_d AS DECIMAL(38,6)) AS DOUBLE) / cnt -
           |            (CAST(sum_d AS DOUBLE) / cnt) * (CAST(sum_d AS DOUBLE) / cnt), 0.0)) AS std_v""".stripMargin
       else ""
     s"""SELECT key, bucket, cnt,

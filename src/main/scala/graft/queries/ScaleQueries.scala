@@ -43,7 +43,7 @@ object ScaleQueries extends QuerySet {
       |         date_trunc('minute', ts) AS bucket,
       |         COUNT(*) AS cnt,
       |         SUM(CAST(value AS DECIMAL(18,6))) AS sum_d,
-      |         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sumsq_d,
+      |         SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))) AS sumsq_d,
       |         MIN(value) AS min_v, MAX(value) AS max_v
       |  FROM events GROUP BY 1, 2
       |)
@@ -51,7 +51,7 @@ object ScaleQueries extends QuerySet {
       |       CAST(sum_d AS DOUBLE) AS sum_v,
       |       CAST(sum_d AS DOUBLE) / cnt AS mean_v,
       |       min_v, max_v,
-      |       sqrt(greatest(CAST(sumsq_d AS DOUBLE) / cnt -
+      |       sqrt(greatest(CAST(CAST(sumsq_d AS DECIMAL(38,6)) AS DOUBLE) / cnt -
       |            (CAST(sum_d AS DOUBLE) / cnt) * (CAST(sum_d AS DOUBLE) / cnt), 0.0)) AS std_v
       |FROM r1m ORDER BY key, bucket""".stripMargin
 
