@@ -86,17 +86,51 @@ object Dedup {
             array_min(transform(col("sh"), s => xxhash64(s, i)))))
           .as("sig"))
 
+  /** Engine-portable signature variant: the hash family is
+    * md5(seed ':' shingle) hex strings with string-MIN per seed —
+    * reproducible in any engine with md5 (the DuckDB oracle replays it
+    * verbatim), unlike xxhash64. Same staged zero-shuffle shape; ~3×
+    * the hash cost of xxhash64, so the scale pipeline keeps the fast
+    * family and certification queries use this one. */
+  def minhashSignaturesPortable(docs: DataFrame, k: Int, shingleN: Int): DataFrame =
+    withShingles(docs, shingleN)
+      .select(col("doc_id"),
+        when(size(col("sh")) >= 0,
+          transform(sequence(lit(0), lit(k - 1)), i =>
+            array_min(transform(col("sh"), s =>
+              md5(concat(i.cast("string"), lit(":"), s))))))
+          .as("sig"))
+
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands
     * of `rowsPerBand`; docs sharing any band bucket are candidates.
-    * Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b. */
+    * Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
+    *
+    * `maxBucket` caps band-bucket occupancy (same production guard as
+    * [[simhashNearDups]]): one boilerplate bucket — empty docs,
+    * templated text, guaranteed in real training corpora — otherwise
+    * contributes O(bucket²) candidate pairs and makes the self-join
+    * quadratic. Buckets above the cap are dropped before the join
+    * (bounded recall loss on degenerate content, bounded worst case).
+    *
+    * `portable = true` switches to the md5 hash family and md5-string
+    * band buckets so a SQL oracle can replay the exact pair set. */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucket: Int = 1000,
+      portable: Boolean = false): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(docs, k, shingleN)
-    val bandCols = array((0 until bands).map(b =>
-      hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val sig =
+      if (portable) minhashSignaturesPortable(docs, k, shingleN)
+      else minhashSignatures(docs, k, shingleN)
+    val bandCols = array((0 until bands).map { b =>
+      val rows = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+      if (portable) md5(concat_ws("|", rows)) else hash(rows, lit(b)).cast("string")
+    }: _*)
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
     val banded = sig.select(col("doc_id"), posexplode(bandCols))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .withColumn("occ", count(lit(1)).over(wBucket))
+      .where(col("occ") <= maxBucket)
+      .drop("occ")
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -180,10 +214,18 @@ object Dedup {
     * → exact n-gram Jaccard verification → pairs ≥ threshold with the
     * canonical (min-id) representative. The standard two-stage shape:
     * the O(n²) metric is only ever computed on bucket-collision
-    * candidates. */
+    * candidates.
+    *
+    * Default bands=16 (2 rows/band) put the LSH S-curve threshold at
+    * (1/16)^(1/2) ≈ 0.25 — well below the verification threshold, so
+    * recall at jaccardMin=0.5 has margin (p_miss(j=0.5) = (1−0.25)^16
+    * ≈ 1%, ≈1e−11 at j=0.9 where real near-dups live); the exact
+    * Jaccard stage removes every false positive the looser bands
+    * admit. */
   def nearDuplicates(docs: DataFrame, jaccardMin: Double = 0.5,
-      k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
-    val cand = minhashLsh(docs, k, bands, shingleN).select("doc_a", "doc_b")
+      k: Int = 32, bands: Int = 16, shingleN: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val cand = minhashLsh(docs, k, bands, shingleN, maxBucket).select("doc_a", "doc_b")
     jaccard(cand, docs, shingleN)
       .where(col("jaccard") >= jaccardMin)
       .select(col("doc_a"), col("doc_b"), col("jaccard"),

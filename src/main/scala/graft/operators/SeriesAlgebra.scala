@@ -30,6 +30,21 @@ object SeriesAlgebra {
   def sample(points: DataFrame, fraction: Double, seed: Long): DataFrame =
     points.sample(withReplacement = false, fraction, seed)
 
+  /** Deterministic hash sample: keep rows whose md5(key ':' epoch_us)
+    * falls in the first `num` of `den` hex-prefix classes — the
+    * reproducible sampling you actually want at 100 TB (same rows on
+    * every run/engine/partitioning, no RNG state). Engine-portable:
+    * a SQL oracle replays the predicate exactly. Scan-local filter,
+    * pushes inside the scan's codegen stage. */
+  def sampleDeterministic(points: DataFrame, num: Int, den: Int = 16): DataFrame = {
+    require(num >= 1 && den == 16, "prefix classes are single hex digits")
+    val cls = conv(substring(
+      md5(concat(col("key"), lit(":"),
+        unix_micros(col("ts").cast("timestamp")).cast("string"))), 1, 1), 16, 10)
+      .cast("int")
+    points.where(cls < num)
+  }
+
   /** Data.astype: cast the signal. */
   def astype(points: DataFrame, to: String): DataFrame =
     points.withColumn("v", col("v").cast(to))

