@@ -140,6 +140,62 @@ object SeriesOps {
     points.groupBy(col("key"))
       .agg(expr(s"percentile(v, $q)").as("pct"))
 
+  /** Series.normalize('window'/'window-exact', window, perc, offset)
+    * (:: Series.normalize): baseline b = percentile over a CENTERED
+    * sliding window of 2·half+1 observations, result (x − b)/(b +
+    * offset) — the df/f workhorse with a drifting baseline. Thunder
+    * distinguishes a fast approximate 'window' mode from
+    * 'window-exact'; here the exact percentile is a single window
+    * aggregate, so both modes land on the exact form. One window pass
+    * per key — no extra shuffle beyond the key partition. */
+  def normalizeWindow(points: DataFrame, half: Int, perc: Double = 20,
+      offset: Double = 0.1): DataFrame =
+    points
+      .withColumn("base",
+        expr(s"percentile(v, ${perc / 100.0})")
+          .over(wKeyOrd.rowsBetween(-half, half)))
+      .withColumn("v", (col("v") - col("base")) / (col("base") + lit(offset)))
+      .drop("base")
+
+  /** Series.detrend(method='nonlinear', order=2) (:: Series.detrend):
+    * quadratic OLS fit v ~ a + b·i + c·i², residuals plus the mean.
+    * Closed form by Cramer's rule on the 3×3 normal equations, built
+    * from exact sums (every moment Σi^p·v is ≤6-frac-decimal exact and
+    * below 2^53, so both engines see identical doubles; the solve is
+    * then fixed-order scalar IEEE → bit-deterministic). */
+  def detrendPoly2(points: DataFrame): DataFrame = {
+    val p = withPos(points)
+    val vd = col("v").cast("decimal(18,6)")
+    val i = col("pos")
+    val agg = p.groupBy(col("key")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(i).cast("double").as("s1"),
+      sum(i * i).cast("double").as("s2"),
+      sum(i * i * i).cast("double").as("s3"),
+      sum(i * i * i * i).cast("double").as("s4"),
+      sum(vd).cast("double").as("t0"),
+      sum((i * col("v")).cast("decimal(27,6)")).cast("double").as("t1"),
+      sum((i * i * col("v")).cast("decimal(32,6)")).cast("double").as("t2"))
+    val det = col("n") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+      col("s1") * (col("s1") * col("s4") - col("s3") * col("s2")) +
+      col("s2") * (col("s1") * col("s3") - col("s2") * col("s2"))
+    val da = col("t0") * (col("s2") * col("s4") - col("s3") * col("s3")) -
+      col("t1") * (col("s1") * col("s4") - col("s2") * col("s3")) +
+      col("t2") * (col("s1") * col("s3") - col("s2") * col("s2"))
+    val db = -col("t0") * (col("s1") * col("s4") - col("s3") * col("s2")) +
+      col("t1") * (col("n") * col("s4") - col("s2") * col("s2")) -
+      col("t2") * (col("n") * col("s3") - col("s2") * col("s1"))
+    val dc = col("t0") * (col("s1") * col("s3") - col("s2") * col("s2")) -
+      col("t1") * (col("n") * col("s3") - col("s1") * col("s2")) +
+      col("t2") * (col("n") * col("s2") - col("s1") * col("s1"))
+    val (a, b, c) = (da / det, db / det, dc / det)
+    p.join(agg, Seq("key"))
+      .withColumn("v",
+        col("v") - (a + b * col("pos") + c * (col("pos") * col("pos"))) +
+          col("t0") / col("n"))
+      .select("key", "ts", "pos", "v")
+  }
+
   /** Series.correlate(signal) (:: Series.correlate): Pearson r of
     * each key's series against a common reference signal supplied as
     * a column expression of (ts, pos). Closed form from exact sums —
@@ -162,9 +218,9 @@ object SeriesOps {
         count(lit(1)).cast("double").as("n"),
         sum(vd).cast("double").as("sv"),
         sum(td).cast("double").as("st"),
-        sum(vd * td).cast("double").as("svt"),
-        sum(vd * vd).cast("double").as("svv"),
-        sum(td * td).cast("double").as("stt"))
+        sum(vd * td).cast("decimal(38,6)").cast("double").as("svt"),
+        sum(vd * vd).cast("decimal(38,6)").cast("double").as("svv"),
+        sum(td * td).cast("decimal(38,6)").cast("double").as("stt"))
       .select(col("key"),
         ((col("svt") - col("sv") * col("st") / col("n")) /
           (sqrt(col("svv") - col("sv") * col("sv") / col("n")) *
@@ -185,9 +241,11 @@ object SeriesOps {
         count(lit(1)).cast("double").as("n"),
         sum(a).cast("double").as("sa"),
         sum(b).cast("double").as("sb"),
-        sum(a * b).cast("double").as("sab"),
-        sum(a * a).cast("double").as("saa"),
-        sum(b * b).cast("double").as("sbb"))
+        // product sums rescale to scale 6 before the double cast,
+        // mirroring the oracle SQL exactly (2^53 wide-decimal hazard)
+        sum(a * b).cast("decimal(38,6)").cast("double").as("sab"),
+        sum(a * a).cast("decimal(38,6)").cast("double").as("saa"),
+        sum(b * b).cast("decimal(38,6)").cast("double").as("sbb"))
       .select(col("key"),
         ((col("sab") - col("sa") * col("sb") / col("n")) /
           (sqrt(col("saa") - col("sa") * col("sa") / col("n")) *
@@ -248,11 +306,76 @@ object SeriesOps {
   /** Series.crosscorr(signal, lag) (:: Series.crosscorr) in
     * autocorrelation form for every shift 1..maxLag: Pearson r between
     * the series and itself shifted by `lag` positions, closed-form
-    * from exact sums. Output (key, lag, r). */
-  def crosscorr(points: DataFrame, maxLag: Int): DataFrame =
-    (1 to maxLag).map { l =>
-      autocorr(points, l).select(col("key"), lit(l).as("lag"), col("r"))
-    }.reduce(_.unionByName(_))
+    * from exact sums. Output (key, lag, r).
+    *
+    * Single-pass: all `lead(v, l)` shifts share ONE window spec (one
+    * sort, one pass), the lag dimension is an explode, and one
+    * aggregate produces every per-(key, lag) sum — the previous
+    * union-of-aggregates shape rescanned the input maxLag times,
+    * which at 100× scale is maxLag wasted full scans. */
+  def crosscorr(points: DataFrame, maxLag: Int): DataFrame = {
+    // stage 1: every lead in ONE window projection (same spec → one
+    // sort, one pass); stage 2: explode the lag dimension (window
+    // expressions can't live inside a generator's input)
+    val withLeads = points.select(
+      col("key") +: col("v") +: (1 to maxLag).map(l =>
+        lead(col("v"), l).over(wKeyOrd).as(s"v2_$l")): _*)
+    val lagCols = array((1 to maxLag).map(l =>
+      struct(lit(l).as("lag"), col(s"v2_$l").as("v2"))): _*)
+    val a = col("v").cast("decimal(18,6)")
+    val b = col("v2").cast("decimal(18,6)")
+    withLeads
+      .select(col("key"), col("v"), explode(lagCols).as("lv"))
+      .select(col("key"), col("lv.lag").as("lag"), col("v"), col("lv.v2").as("v2"))
+      .where(col("v2").isNotNull)
+      .groupBy(col("key"), col("lag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(a).cast("double").as("sa"),
+        sum(b).cast("double").as("sb"),
+        sum(a * b).cast("decimal(38,6)").cast("double").as("sab"),
+        sum(a * a).cast("decimal(38,6)").cast("double").as("saa"),
+        sum(b * b).cast("decimal(38,6)").cast("double").as("sbb"))
+      .select(col("key"), col("lag"),
+        ((col("sab") - col("sa") * col("sb") / col("n")) /
+          (sqrt(col("saa") - col("sa") * col("sa") / col("n")) *
+            sqrt(col("sbb") - col("sb") * col("sb") / col("n")))).as("r"))
+  }
+
+  /** Series.correlate(signal) / Series.crosscorr(signal, lag) —
+    * thunder's GENERAL form: Pearson r between each key's series and
+    * an external common signal indexed by position, at every shift in
+    * [−maxLag, maxLag] (r at lag l pairs v[pos] with sig[pos+l]).
+    * The signal arrives as a (small) DataFrame(pos, sig), is exploded
+    * per lag and broadcast — the big side joins on pos without
+    * shuffling. Closed form from exact decimal sums; product sums are
+    * rescaled to scale 6 before the double cast on BOTH engines (the
+    * 2^53 wide-decimal hazard), so r is bit-deterministic. Signal
+    * values must be 6-frac-decimal representable (true for any column
+    * read from the quantized sources). */
+  def crosscorrSignal(points: DataFrame, signal: DataFrame, maxLag: Int): DataFrame = {
+    val p = withPos(points)
+    val lagList = array((-maxLag to maxLag).map(lit): _*)
+    val sigL = signal
+      .select(explode(lagList).as("lag"), col("pos"), col("sig"))
+      .select(col("lag"), (col("pos") - col("lag")).as("pos"), col("sig"))
+    val a = col("v").cast("decimal(18,6)")
+    val s = col("sig").cast("decimal(18,6)")
+    def wide(c: Column) = sum(c).cast("decimal(38,6)").cast("double")
+    p.join(broadcast(sigL), Seq("pos"))
+      .groupBy(col("key"), col("lag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(a).cast("double").as("sa"),
+        sum(s).cast("double").as("sb"),
+        wide(a * s).as("sab"),
+        wide(a * a).as("saa"),
+        wide(s * s).as("sbb"))
+      .select(col("key"), col("lag"),
+        ((col("sab") - col("sa") * col("sb") / col("n")) /
+          (sqrt(col("saa") - col("sa") * col("sa") / col("n")) *
+            sqrt(col("sbb") - col("sb") * col("sb") / col("n")))).as("r"))
+  }
 
   /** Series.mean_by_window(indices, window)
     * (:: Series.mean_by_window): for each given center position,
@@ -280,6 +403,43 @@ object SeriesOps {
       .agg(count(lit(1)).as("n"),
         (sum(vd).cast("double") / count(lit(1))).as("v"))
   }
+
+  /** Data.sum/mean/min/max/std across records (thunder/base.py ::
+    * Data.sum, Data.max, Data.min, Data.std): the element-wise stats
+    * series over all keys, per time bucket — one hash aggregate with
+    * map-side partials, exact decimal sums, std via the same rescaled
+    * presentation as Rollup.present. */
+  def statsAcrossKeys(points: DataFrame, unit: String): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    val agg = points.groupBy(Rollup.bucket(col("ts"), unit).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(vd).as("sum_d"),
+        sum(vd * vd).as("sumsq_d"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+    val mean = col("sum_d").cast("double") / col("n")
+    val ex2 = col("sumsq_d").cast("decimal(38,6)").cast("double") / col("n")
+    agg.select(col("bucket"), col("n"),
+      col("sum_d").cast("double").as("sum_v"),
+      mean.as("mean_v"),
+      col("min_v"), col("max_v"),
+      sqrt(greatest(ex2 - mean * mean, lit(0.0))).as("std_v"))
+  }
+
+  /** Distinct-count surface (SURVEY §2.3): exact per-bucket distinct
+    * keys (oracle-checkable) plus the HLL++ approximate counterpart
+    * for the 10^12-key regime where exact distinct is a full shuffle
+    * of the key set (approx_count_distinct is a fixed-size mergeable
+    * sketch — error bound pinned by SeriesOpsSpec). */
+  def distinctKeys(points: DataFrame, unit: String): DataFrame =
+    points.groupBy(Rollup.bucket(col("ts"), unit).as("bucket"))
+      .agg(count_distinct(col("key")).as("n_keys"))
+
+  def approxDistinctKeys(points: DataFrame, unit: String,
+      rsd: Double = 0.02): DataFrame =
+    points.groupBy(Rollup.bucket(col("ts"), unit).as("bucket"))
+      .agg(approx_count_distinct(col("key"), rsd).as("n_keys_approx"))
 
   /** stat_by_index with a multi-level index (:: Series.stat_by_index):
     * grouped aggregation by derived index labels — here (hour-of-day)

@@ -63,6 +63,24 @@ object SeriesQueries extends QuerySet {
           col("roll_min"), col("roll_max")))),
     "q_crosscorr" -> ((s, dir) =>
       ordered(SeriesOps.crosscorr(eventPoints(s, dir), 3))),
+    // thunder's GENERAL crosscorr(signal, lag): reference signal =
+    // key '1's series, shifts −2..2 — exercises the broadcast
+    // signal join; includes lag 0 = correlate(signal)
+    "q_crosscorr_signal" -> ((s, dir) => {
+      val p = eventPoints(s, dir)
+      val signal = SeriesOps.withPos(p).where(col("key") === "1")
+        .select(col("pos"), col("v").as("sig"))
+      ordered(SeriesOps.crosscorrSignal(p, signal, 2))
+    }),
+    "q_normalize_window" -> ((s, dir) =>
+      ordered(SeriesOps.normalizeWindow(eventPoints(s, dir), half = 3)
+        .select(col("key"), col("ts"), round(col("v"), 6).as("v")))),
+    "q_detrend2" -> ((s, dir) =>
+      ordered(SeriesOps.detrendPoly2(eventPoints(s, dir)))),
+    "q_stats_across_keys" -> ((s, dir) =>
+      ordered(SeriesOps.statsAcrossKeys(eventPoints(s, dir), "hour"))),
+    "q_distinct_keys" -> ((s, dir) =>
+      ordered(SeriesOps.distinctKeys(eventPoints(s, dir), "hour"))),
     "q_mean_across_keys" -> ((s, dir) =>
       ordered(SeriesOps.meanAcrossKeys(eventPoints(s, dir), "hour"))),
     "q_mean_by_hod" -> ((s, dir) =>
@@ -194,6 +212,69 @@ object SeriesQueries extends QuerySet {
          |  CAST(SUM(CAST(p.v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
          |FROM pts p JOIN centers c ON p.pos >= c.center - 2 AND p.pos <= c.center + 2
          |GROUP BY 1, 2 ORDER BY key, "offset", n, v""".stripMargin,
+    "q_crosscorr_signal" ->
+      s"""$ptsCte, sig AS (SELECT pos, v AS sig FROM pts WHERE key = '1'),
+         |sl AS (SELECT CAST(l AS INT) AS lag, pos - l AS pos, sig
+         |       FROM sig, range(-2, 3) t(l)),
+         |pr AS (SELECT p.key, sl.lag, p.v, sl.sig FROM pts p JOIN sl USING (pos)),
+         |ag AS (
+         |  SELECT key, lag, CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+         |         CAST(SUM(CAST(sig AS DECIMAL(18,6))) AS DOUBLE) AS sb,
+         |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(sig AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sab,
+         |         CAST(CAST(SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS saa,
+         |         CAST(CAST(SUM(CAST(sig AS DECIMAL(19,6)) * CAST(sig AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sbb
+         |  FROM pr GROUP BY key, lag)
+         |SELECT key, lag, (sab - sa * sb / n) /
+         |       (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) AS r
+         |FROM ag ORDER BY key, lag, r""".stripMargin,
+    "q_normalize_window" ->
+      s"""$ptsCte SELECT key, ts, round((v - b) / (b + 0.1), 6) AS v FROM (
+         |  SELECT key, ts, v,
+         |         quantile_cont(v, 0.2) OVER (PARTITION BY key ORDER BY ts
+         |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS b
+         |  FROM pts)
+         |ORDER BY key, ts, v""".stripMargin,
+    "q_detrend2" ->
+      s"""$ptsCte, ag AS (
+         |  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
+         |         CAST(SUM(pos) AS DOUBLE) AS s1,
+         |         CAST(SUM(pos * pos) AS DOUBLE) AS s2,
+         |         CAST(SUM(pos * pos * pos) AS DOUBLE) AS s3,
+         |         CAST(SUM(pos * pos * pos * pos) AS DOUBLE) AS s4,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS t0,
+         |         CAST(SUM(CAST(pos * v AS DECIMAL(27,6))) AS DOUBLE) AS t1,
+         |         CAST(SUM(CAST(pos * pos * v AS DECIMAL(32,6))) AS DOUBLE) AS t2
+         |  FROM pts GROUP BY key),
+         |co AS (
+         |  SELECT key,
+         |    n * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2) AS det,
+         |    t0 * (s2 * s4 - s3 * s3) - t1 * (s1 * s4 - s2 * s3) + t2 * (s1 * s3 - s2 * s2) AS da,
+         |    -t0 * (s1 * s4 - s3 * s2) + t1 * (n * s4 - s2 * s2) - t2 * (n * s3 - s2 * s1) AS db,
+         |    t0 * (s1 * s3 - s2 * s2) - t1 * (n * s3 - s1 * s2) + t2 * (n * s2 - s1 * s1) AS dc,
+         |    t0 / n AS mean_v
+         |  FROM ag)
+         |SELECT p.key, p.ts, p.pos,
+         |       p.v - ((da / det) + (db / det) * p.pos + (dc / det) * (p.pos * p.pos)) + mean_v AS v
+         |FROM pts p JOIN co USING (key) ORDER BY key, ts, pos, v""".stripMargin,
+    "q_stats_across_keys" ->
+      s"""$ptsCte, ag AS (
+         |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         |         SUM(CAST(v AS DECIMAL(18,6))) AS sum_d,
+         |         SUM(CAST(v AS DECIMAL(19,6)) * CAST(v AS DECIMAL(18,6))) AS sumsq_d,
+         |         MIN(v) AS min_v, MAX(v) AS max_v
+         |  FROM pts GROUP BY 1)
+         |SELECT bucket, n,
+         |       CAST(sum_d AS DOUBLE) AS sum_v,
+         |       CAST(sum_d AS DOUBLE) / n AS mean_v,
+         |       min_v, max_v,
+         |       sqrt(greatest(CAST(CAST(sumsq_d AS DECIMAL(38,6)) AS DOUBLE) / n -
+         |            (CAST(sum_d AS DOUBLE) / n) * (CAST(sum_d AS DOUBLE) / n), 0.0)) AS std_v
+         |FROM ag ORDER BY bucket, n, sum_v, mean_v, min_v, max_v, std_v""".stripMargin,
+    "q_distinct_keys" ->
+      s"""$ptsCte SELECT date_trunc('hour', ts) AS bucket,
+         |  COUNT(DISTINCT key) AS n_keys
+         |FROM pts GROUP BY 1 ORDER BY bucket, n_keys""".stripMargin,
     "q_mean_across_keys" ->
       s"""$ptsCte SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
          |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v

@@ -122,4 +122,73 @@ class SeriesOpsSpec extends SparkSpecBase {
       .orderBy("offset").select("v").as[Double].collect().toSeq
     assert(got == Seq(2.0, 4.0, 7.0)) // values at pos 1,2,3
   }
+
+  test("crosscorr (single-pass) matches per-lag autocorr exactly") {
+    val p = pts("a" -> xs, "b" -> ys)
+    val got = SeriesOps.crosscorr(p, 3).orderBy("key", "lag")
+      .select("key", "lag", "r").as[(String, Int, Double)].collect().toSeq
+    val want = (1 to 3).flatMap { l =>
+      SeriesOps.autocorr(p, l).orderBy("key")
+        .select("key", "r").as[(String, Double)].collect()
+        .map { case (k, r) => (k, l, r) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want) // bit-exact: same sums, same closed form
+  }
+
+  test("crosscorrSignal: lag 0 against a key's own series gives r = 1") {
+    val p = pts("a" -> xs, "b" -> ys)
+    val signal = SeriesOps.withPos(p).where(col("key") === "a")
+      .select(col("pos"), col("v").as("sig"))
+    val r = SeriesOps.crosscorrSignal(p, signal, 1)
+      .collect().map(row => (row.getString(0), row.getInt(1)) -> row.getDouble(2)).toMap
+    assertClose(r(("a", 0)), 1.0, 1e-12)
+    // lag 0 of key b vs signal a = plain Pearson(ys, xs)
+    assertClose(r(("b", 0)), LocalOracle.pearson(ys, xs), 1e-9)
+    assert(r.keySet == Set("a", "b").flatMap(k => (-1 to 1).map(l => (k, l))))
+  }
+
+  test("detrendPoly2 removes an exact quadratic (residual = mean)") {
+    val quad = (0 until 12).map(i => 3.0 + 0.5 * i + 0.25 * i * i)
+    val got = vals(SeriesOps.detrendPoly2(pts("a" -> quad)), "a")
+    val m = quad.sum / quad.length
+    got.foreach(v => assertClose(v, m, 1e-9))
+    // and it degrades gracefully to the linear case
+    val lin = (0 until 12).map(i => 2.0 + 1.5 * i)
+    vals(SeriesOps.detrendPoly2(pts("a" -> lin)), "a")
+      .foreach(v => assertClose(v, lin.sum / lin.length, 1e-9))
+  }
+
+  test("normalizeWindow: sliding percentile baseline (constant series → 0)") {
+    val const = Seq.fill(9)(5.0)
+    vals(SeriesOps.normalizeWindow(pts("a" -> const), half = 2), "a")
+      .foreach(v => assertClose(v, 0.0, 1e-12))
+    // window baseline follows drift where global percentile can't:
+    // a step series normalized windowed has near-zero tails
+    val step = Seq.fill(6)(10.0) ++ Seq.fill(6)(100.0)
+    val w = vals(SeriesOps.normalizeWindow(pts("a" -> step), half = 1), "a")
+    assertClose(w.head, 0.0, 1e-12)
+    assertClose(w.last, 0.0, 1e-12)
+  }
+
+  test("statsAcrossKeys: across-record sum/mean/min/max/std per bucket") {
+    val p = pts("a" -> xs, "b" -> ys) // aligned ts → same buckets
+    val row = SeriesOps.statsAcrossKeys(p, "hour").collect().head
+    val all = xs ++ ys
+    assert(row.getAs[Long]("n") == all.length)
+    assertClose(row.getAs[Double]("sum_v"), all.sum, 1e-12)
+    assertClose(row.getAs[Double]("mean_v"), all.sum / all.length, 1e-12)
+    assert(row.getAs[Double]("min_v") == all.min && row.getAs[Double]("max_v") == all.max)
+    assertClose(row.getAs[Double]("std_v"), LocalOracle.stdPop(all), 1e-9)
+  }
+
+  test("distinct counts: exact, and HLL within its rsd bound") {
+    val p = (0 until 5000).map(i => Point(s"k${i % 437}", t(i % 3000), i.toDouble)).toDF()
+    val exact = SeriesOps.distinctKeys(p, "hour").orderBy("bucket")
+      .select("n_keys").as[Long].collect()
+    val approx = SeriesOps.approxDistinctKeys(p, "hour", rsd = 0.02).orderBy("bucket")
+      .select("n_keys_approx").as[Long].collect()
+    assert(exact.length == approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e") }
+  }
 }
