@@ -1,7 +1,9 @@
 package graft.tables
 
+import java.time.{LocalDate, YearMonth}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.operators.Rollup
 
 /** The retention-cascade materialization job: raw points → 1m → 1h →
@@ -9,19 +11,24 @@ import graft.operators.Rollup
   * "retention cascades materialized as incremental Iceberg MERGE
   * jobs … resumable from per-partition checkpoints").
   *
-  * One batch = one day of input. Per batch: the 1m partials are
-  * computed once, MERGEd into the 1m tier, then cascaded (exact
-  * mergeable-stat sums) into the 1h and 1d tiers. Each merge commits
-  * a snapshot whose partition entries carry lineage `runId/day` +
-  * row/byte metrics, so a crashed run re-executed with the same
-  * runId skips every (partition, batch) already committed — the
-  * recomputed partials are deterministic, so resume is idempotent
-  * (tested: interrupting after tier-1m commit and re-running yields
-  * identical tier contents, no double counting).
+  * One batch = one day of input. Per batch the raw table is scanned
+  * EXACTLY ONCE: the 1m partials are persisted before the tier-1m
+  * MERGE materializes them, so the 1h and 1d cascades read the cached
+  * partials instead of re-executing the raw scan + rollup (lazy
+  * DataFrames made the previous version scan raw three times per
+  * batch — at 10^12 turns that is 3 × n_days full scans). Partials are
+  * tiny relative to raw (one row per (key, minute)), so MEMORY_AND_DISK
+  * is cheap insurance.
   *
-  * At 10^12-turn scale a "day batch" is a partition-pruned scan of
-  * the ingest layout (Ingest.layout puts ts_day in the range key), so
-  * each batch reads only its own files.
+  * Batch predicates are RANGE predicates on ts ([day, day+1) bounds),
+  * not date_format string equality: a range on the raw column pushes
+  * into the parquet scan (row-group min/max pruning, partition pruning
+  * on a ts-partitioned ingest layout), while a function of ts defeats
+  * every pruning path. Each merge commits a snapshot whose partition
+  * entries carry lineage runId/day + row/byte metrics, so a crashed
+  * run re-executed with the same runId skips every (partition, batch)
+  * already committed — the recomputed partials are deterministic, so
+  * resume is idempotent.
   */
 final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
@@ -40,9 +47,28 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
     case u => throw new IllegalArgumentException(s"batchUnit $u")
   }
 
+  /** [lo, hi) wall-clock bounds of one batch label. */
+  private def bounds(label: String, unit: String): (String, String) = unit match {
+    case "day" =>
+      (s"$label 00:00:00", s"${LocalDate.parse(label).plusDays(1)} 00:00:00")
+    case "month" =>
+      (s"$label-01 00:00:00", s"${YearMonth.parse(label).plusMonths(1)}-01 00:00:00")
+    case "year" =>
+      (s"$label-01-01 00:00:00", s"${label.toInt + 1}-01-01 00:00:00")
+    case u => throw new IllegalArgumentException(s"batchUnit $u")
+  }
+
   def distinctDays(points: DataFrame, batchUnit: String = "day"): Seq[String] =
     points.select(date_format(col("ts"), pattern(batchUnit)).as("d"))
       .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
+
+  /** Pushdown-friendly batch slice: ts ∈ [lo, hi) as a range predicate
+    * on the raw column (cast to the column's own timestamp flavor). */
+  private def batchSlice(points: DataFrame, label: String, unit: String): DataFrame = {
+    val (lo, hi) = bounds(label, unit)
+    val tsType = points.schema("ts").dataType
+    points.where(col("ts") >= lit(lo).cast(tsType) && col("ts") < lit(hi).cast(tsType))
+  }
 
   /** Run (or resume) the cascade over `points` for all its days.
     * `sketched = true` carries a KLL percentile-sketch column through
@@ -52,19 +78,25 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
     val days = distinctDays(points, batchUnit)
     days.foreach { day =>
       val lineage = s"$runId/$day"
-      val dayPts = points.where(date_format(col("ts"), pattern(batchUnit)) === day)
+      val dayPts = batchSlice(points, day, batchUnit)
       val m1 =
-        if (sketched) graft.operators.SketchedRollup.rollupRaw(dayPts, "minute")
-        else Rollup.rollupRaw(dayPts, "minute")
-      tier1m.merge(m1, lineage)
-      val h1 =
-        if (sketched) graft.operators.SketchedRollup.cascade(m1, "hour")
-        else Rollup.cascade(m1, "hour")
-      tier1h.merge(h1, lineage)
-      val d1 =
-        if (sketched) graft.operators.SketchedRollup.cascade(h1, "day")
-        else Rollup.cascade(h1, "day")
-      tier1d.merge(d1, lineage)
+        (if (sketched) graft.operators.SketchedRollup.rollupRaw(dayPts, "minute")
+         else Rollup.rollupRaw(dayPts, "minute"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        tier1m.merge(m1, lineage) // materializes m1 (one raw scan)
+        val h1 =
+          (if (sketched) graft.operators.SketchedRollup.cascade(m1, "hour")
+           else Rollup.cascade(m1, "hour"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          tier1h.merge(h1, lineage)
+          val d1 =
+            if (sketched) graft.operators.SketchedRollup.cascade(h1, "day")
+            else Rollup.cascade(h1, "day")
+          tier1d.merge(d1, lineage)
+        } finally h1.unpersist(false)
+      } finally m1.unpersist(false)
     }
   }
 
@@ -73,13 +105,16 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
   def runPartial(points: DataFrame, runId: String, maxBatches: Int): Unit = {
     distinctDays(points, "day").take(maxBatches).foreach { day =>
       val lineage = s"$runId/$day"
-      val dayPts = points.where(date_format(col("ts"), "yyyy-MM-dd") === day)
-      val m1 = Rollup.rollupRaw(dayPts, "minute")
-      tier1m.merge(m1, lineage)
-      val h1 = Rollup.cascade(m1, "hour")
-      tier1h.merge(h1, lineage)
-      val d1 = Rollup.cascade(h1, "day")
-      tier1d.merge(d1, lineage)
+      val dayPts = batchSlice(points, day, "day")
+      val m1 = Rollup.rollupRaw(dayPts, "minute").persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        tier1m.merge(m1, lineage)
+        val h1 = Rollup.cascade(m1, "hour").persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          tier1h.merge(h1, lineage)
+          tier1d.merge(Rollup.cascade(h1, "day"), lineage)
+        } finally h1.unpersist(false)
+      } finally m1.unpersist(false)
     }
   }
 }

@@ -1,7 +1,7 @@
 package graft.tables
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,9 +16,19 @@ import org.apache.spark.sql.functions._
   * MERGE" lands as this thin layer implementing the same *semantics*:
   *   - snapshot isolation: readers resolve HEAD → vN.json → explicit
   *     file list; writers never mutate committed files;
-  *   - atomic commit: manifest written to a temp file, then an atomic
-  *     rename moves HEAD — a crashed writer leaves the table at the
-  *     previous snapshot;
+  *   - atomic commit with conflict detection: the manifest file is
+  *     created with CREATE_NEW (a poor-man's CAS on the version), so
+  *     two racing writers cannot both claim version N — the loser gets
+  *     a conflict error instead of silently discarding the winner's
+  *     entries; HEAD then moves by atomic rename;
+  *   - DELTA manifests (manifest-of-manifests, like Iceberg's
+  *     snapshot → manifest-list indirection): each commit writes only
+  *     the partitions it touched plus a parent pointer; readers walk
+  *     the chain to the nearest FULL snapshot, first-seen-wins. Commit
+  *     I/O is O(touched partitions), not O(table partitions) — at
+  *     millions of partitions a full rewrite per commit is a
+  *     scale-killer. Every `compactEvery`-th commit writes a full
+  *     snapshot so chains stay short;
   *   - hidden partitioning: data laid out by (pb = bucket(key),
   *     pd = day(bucket)) — the Iceberg transform pair
   *     bucket(N, conv_id) × days(ts) from SURVEY.md §4.2;
@@ -27,15 +37,16 @@ import org.apache.spark.sql.functions._
   *     the touched partitions via the exact mergeable-stat merge
   *     (sum of decimal sums — associative, so re-merging is
   *     idempotent), untouched partitions carry forward by reference;
-  *   - resume: every committed partition records lineage (runId,
-  *     rows, bytes) in the manifest; a re-run of the same runId skips
-  *     partitions already committed (anti-join on the checkpoint
-  *     set) — north_rule "resumable from per-partition checkpoints
-  *     carrying lineage and row-count/byte metrics".
+  *   - resume: every committed partition records its full lineage
+  *     (ALL runIds that ever touched it, plus rows/bytes) — a re-run
+  *     of a runId skips partitions that already include it, even if
+  *     OTHER runs committed to the same partition in between (a single
+  *     runId field would forget history and double-merge on retry).
   * The interface is format-agnostic so a real Iceberg catalog can be
   * swapped in where one exists.
   */
-final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
+final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
+    compactEvery: Int = 8) {
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
@@ -47,11 +58,16 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   // ---- manifest model (hand-rolled JSON: no extra deps) -------------
 
-  /** One committed partition: relative dir, lineage + metrics. */
+  /** One committed partition: relative dir, full runId lineage +
+    * metrics. `runIds` lists every run that has been merged into this
+    * partition's current contents (ordered by commit). */
   case class PartEntry(pb: Int, pd: String, dir: String, rows: Long,
-      bytes: Long, runId: String)
+      bytes: Long, runIds: Seq[String])
 
-  case class Manifest(version: Int, parent: Int, entries: Seq[PartEntry])
+  /** `full = true` → entries are the complete live-partition set;
+    * otherwise a delta over `parent`. */
+  case class Manifest(version: Int, parent: Int, full: Boolean,
+      entries: Seq[PartEntry])
 
   private def esc(s: String) = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -60,21 +76,23 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   private def manifestJson(m: Manifest): String = {
     val es = m.entries.map { e =>
-      s"""{"pb":${e.pb},"pd":"${esc(e.pd)}","dir":"${esc(e.dir)}","rows":${e.rows},"bytes":${e.bytes},"runId":"${esc(e.runId)}"}"""
+      s"""{"pb":${e.pb},"pd":"${esc(e.pd)}","dir":"${esc(e.dir)}","rows":${e.rows},"bytes":${e.bytes},"runIds":"${esc(e.runIds.mkString(","))}"}"""
     }.mkString("[", ",", "]")
-    s"""{"version":${m.version},"parent":${m.parent},"entries":$es}"""
+    s"""{"version":${m.version},"parent":${m.parent},"full":${m.full},"entries":$es}"""
   }
 
   private def parseManifest(s: String): Manifest = {
     // minimal parser for the writer's own format
     val version = """"version":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
     val parent = """"parent":(-?\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
-    val entry = """\{"pb":(\d+),"pd":"([^"]*)","dir":"([^"]*)","rows":(\d+),"bytes":(\d+),"runId":"([^"]*)"\}""".r
+    val full = """"full":(true|false)""".r.findFirstMatchIn(s).get.group(1).toBoolean
+    val entry = """\{"pb":(\d+),"pd":"([^"]*)","dir":"([^"]*)","rows":(\d+),"bytes":(\d+),"runIds":"([^"]*)"\}""".r
     val entries = entry.findAllMatchIn(s).map { m =>
       PartEntry(m.group(1).toInt, m.group(2), m.group(3), m.group(4).toLong,
-        m.group(5).toLong, m.group(6))
+        m.group(5).toLong,
+        m.group(6).split(',').toSeq.filter(_.nonEmpty))
     }.toSeq
-    Manifest(version, parent, entries)
+    Manifest(version, parent, full, entries)
   }
 
   def currentVersion: Int =
@@ -82,16 +100,47 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       new String(Files.readAllBytes(headFile), StandardCharsets.UTF_8).trim.toInt
     else -1
 
+  private def manifestAt(v: Int): Manifest =
+    parseManifest(new String(
+      Files.readAllBytes(metaDir.resolve(s"v$v.json")), StandardCharsets.UTF_8))
+
   def currentManifest: Option[Manifest] = {
     val v = currentVersion
-    if (v < 0) None
-    else Some(parseManifest(new String(
-      Files.readAllBytes(metaDir.resolve(s"v$v.json")), StandardCharsets.UTF_8)))
+    if (v < 0) None else Some(manifestAt(v))
   }
 
+  /** Resolve the live partition set at HEAD: walk the delta chain down
+    * to the nearest full snapshot, newest entry wins per partition.
+    * O(chain length) manifest reads — bounded by `compactEvery`. */
+  def resolvedEntries: Seq[PartEntry] = {
+    val seen = scala.collection.mutable.LinkedHashMap[(Int, String), PartEntry]()
+    var v = currentVersion
+    var done = v < 0
+    while (!done) {
+      val m = manifestAt(v)
+      m.entries.foreach { e =>
+        if (!seen.contains((e.pb, e.pd))) seen((e.pb, e.pd)) = e
+      }
+      if (m.full || m.parent < 0) done = true else v = m.parent
+    }
+    seen.values.toSeq
+  }
+
+  /** Atomic commit with conflict detection: CREATE_NEW on the version
+    * file is the CAS — a racing writer that computed the same version
+    * fails here (and must retry against the new snapshot) instead of
+    * silently clobbering the winner's commit. */
   private def commit(m: Manifest): Unit = {
     val vFile = metaDir.resolve(s"v${m.version}.json")
-    Files.write(vFile, manifestJson(m).getBytes(StandardCharsets.UTF_8))
+    try
+      Files.write(vFile, manifestJson(m).getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"commit conflict: version ${m.version} of $root already exists " +
+            "(concurrent writer) — re-read the snapshot and retry the merge")
+    }
     val tmp = metaDir.resolve(s"HEAD.tmp${m.version}")
     Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, headFile, StandardCopyOption.ATOMIC_MOVE,
@@ -100,23 +149,21 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   // ---- read ---------------------------------------------------------
 
-  /** Snapshot read: the file list comes from the manifest, never from
-    * directory listing — concurrent/crashed writers are invisible. */
-  def read(): DataFrame = currentManifest match {
-    case None => spark.emptyDataFrame
-    case Some(m) if m.entries.isEmpty => spark.emptyDataFrame
-    case Some(m) =>
-      spark.read.parquet(m.entries.map(e => s"$root/${e.dir}"): _*)
+  /** Snapshot read: the file list comes from the resolved manifest
+    * chain, never from directory listing — concurrent/crashed writers
+    * are invisible. */
+  def read(): DataFrame = {
+    val es = resolvedEntries
+    if (es.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
   }
 
   /** Time-pruned read: only partitions whose pd (day) falls in
     * [lo, hi] are scanned — manifest-level partition pruning. */
-  def read(loDay: String, hiDay: String): DataFrame = currentManifest match {
-    case Some(m) =>
-      val keep = m.entries.filter(e => e.pd >= loDay && e.pd <= hiDay)
-      if (keep.isEmpty) spark.emptyDataFrame
-      else spark.read.parquet(keep.map(e => s"$root/${e.dir}"): _*)
-    case None => spark.emptyDataFrame
+  def read(loDay: String, hiDay: String): DataFrame = {
+    val keep = resolvedEntries.filter(e => e.pd >= loDay && e.pd <= hiDay)
+    if (keep.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(keep.map(e => s"$root/${e.dir}"): _*)
   }
 
   // ---- merge --------------------------------------------------------
@@ -132,34 +179,43 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
     * Steps: 1) affected partitions = distinct (pb, pd) of the update;
     * 2) combined = (existing rows of affected ∪ updates) re-merged on
     * (key, bucket) — exact; 3) write each affected partition under
-    * data/v{N}/pb=…/pd=…; 4) new manifest = carried-forward untouched
-    * entries + fresh affected entries; atomic HEAD swap.
+    * data/v{N}/pb=…/pd=…; 4) commit a DELTA manifest carrying only the
+    * rewritten partitions (a full snapshot every `compactEvery`
+    * commits); atomic CAS + HEAD swap.
     *
-    * Resume: if `runId` matches an entry already committed for an
-    * affected partition at the current version, that partition is
-    * skipped (its entry carries forward) — re-running a partially
-    * failed job converges without double-merging.
+    * Resume: a partition whose lineage already contains `runId` is
+    * skipped (entry carries forward by reference), so re-running a
+    * partially failed job converges without double-merging — even if
+    * other runs have since committed to the same partitions.
+    *
+    * Driver memory: the collected state is O(live partitions) for the
+    * resolve plus O(touched partitions) for counts/bytes — the same
+    * order a real Iceberg driver holds for planning; commit I/O is
+    * O(touched) only.
     */
   def merge(updates: DataFrame, runId: String): Manifest = {
-    val prev = currentManifest.getOrElse(Manifest(-1, -2, Nil))
-    val newVersion = prev.version + 1
+    val resolved = resolvedEntries.map(e => (e.pb, e.pd) -> e).toMap
+    val prevVersion = currentVersion
+    val newVersion = prevVersion + 1
+    val makeFull = newVersion % compactEvery == 0
     val upd = withPartCols(updates).cache()
     try {
       val affected = upd.select("pb", "pd").distinct().collect()
         .map(r => (r.getInt(0), r.getString(1))).toSet
-      val doneForRun = prev.entries.filter(_.runId == runId)
-        .map(e => (e.pb, e.pd)).toSet
+      val doneForRun = resolved.collect {
+        case (part, e) if e.runIds.contains(runId) => part
+      }.toSet
       val todo = affected -- doneForRun
       if (todo.isEmpty) { // fully resumed: nothing to rewrite
-        val m = Manifest(newVersion, prev.version, prev.entries)
+        val m = Manifest(newVersion, prevVersion, makeFull,
+          if (makeFull) resolved.values.toSeq else Nil)
         commit(m)
         return m
       }
       val todoDf = todo.toSeq.toDF_(spark)
 
-      val prevByPart = prev.entries.map(e => (e.pb, e.pd) -> e).toMap
       val existingAffected: Option[DataFrame] = {
-        val dirs = todo.toSeq.flatMap(prevByPart.get).map(e => s"$root/${e.dir}")
+        val dirs = todo.toSeq.flatMap(resolved.get).map(e => s"$root/${e.dir}")
         // leaf-dir reads drop the hive-style partition columns;
         // recompute them — pb/pd are pure functions of (key, bucket)
         if (dirs.isEmpty) None else Some(withPartCols(spark.read.parquet(dirs: _*)))
@@ -200,10 +256,15 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16) {
       val newEntries = todo.toSeq.sorted.map { case (pb, pd) =>
         val dir = s"$outDir/pb=$pb/pd=$pd"
         val bytes = dirSize(rootPath.resolve(dir))
-        PartEntry(pb, pd, dir, counts.getOrElse((pb, pd), 0L), bytes, runId)
+        val lineage = resolved.get((pb, pd)).map(_.runIds).getOrElse(Nil) :+ runId
+        PartEntry(pb, pd, dir, counts.getOrElse((pb, pd), 0L), bytes, lineage)
       }
-      val carried = prev.entries.filterNot(e => todo.contains((e.pb, e.pd)))
-      val m = Manifest(newVersion, prev.version, carried ++ newEntries)
+      val entries =
+        if (makeFull)
+          resolved.filterNot { case (part, _) => todo.contains(part) }
+            .values.toSeq ++ newEntries
+        else newEntries
+      val m = Manifest(newVersion, prevVersion, makeFull, entries)
       commit(m)
       m
     } finally upd.unpersist()

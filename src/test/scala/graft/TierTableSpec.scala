@@ -65,12 +65,60 @@ class TierTableSpec extends SparkSpecBase {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
     tt.merge(Rollup.rollupRaw(mkPts(3, 300).toDF(), "minute"), "runX")
-    val m = tt.currentManifest.get
-    assert(m.entries.nonEmpty)
-    assert(m.entries.forall(_.runId == "runX"))
-    assert(m.entries.forall(e => e.rows > 0 && e.bytes > 0))
-    val totalRows = m.entries.map(_.rows).sum
+    val es = tt.resolvedEntries
+    assert(es.nonEmpty)
+    assert(es.forall(_.runIds == Seq("runX")))
+    assert(es.forall(e => e.rows > 0 && e.bytes > 0))
+    val totalRows = es.map(_.rows).sum
     assert(totalRows == tt.read().count())
+  }
+
+  test("delta manifests: commit I/O is O(touched partitions); compaction resolves identically") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 4)
+    // 6 sequential day batches touching disjoint pd partitions
+    val batches = (0 until 6).map(d => mkPts(2, 80, startSec = d * 86400L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), s"r$i")
+    }
+    // non-compaction commits carry only the touched partitions
+    val m5 = tt.currentManifest.get
+    val touched5 = m5.entries.map(e => (e.pb, e.pd)).toSet
+    assert(!m5.full && m5.entries.size < tt.resolvedEntries.size,
+      s"delta=${m5.entries.size} vs live=${tt.resolvedEntries.size}")
+    // the resolved view equals a single rollup of everything
+    val want = Rollup.present(Rollup.rollupRaw(batches.flatten.toDF(), "minute"))
+    val got = Rollup.present(tt.read())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // version 4 was a full snapshot (compactEvery = 4)
+    assert(touched5.nonEmpty && tt.currentVersion == 5)
+  }
+
+  test("commit CAS: a racing writer gets a conflict, not silent data loss") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    tt.merge(Rollup.rollupRaw(mkPts(2, 100).toDF(), "minute"), "r1")
+    // another writer claims version 1 out from under us
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_meta", "v1.json"),
+      """{"version":1,"parent":0,"full":false,"entries":[]}""".getBytes)
+    val ex = intercept[IllegalStateException] {
+      tt.merge(Rollup.rollupRaw(mkPts(2, 100, startSec = 99999).toDF(), "minute"), "r2")
+    }
+    assert(ex.getMessage.contains("conflict"))
+  }
+
+  test("runId lineage survives interleaved runs (retry does not double-merge)") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = Rollup.rollupRaw(mkPts(2, 200).toDF(), "minute")
+    val b = Rollup.rollupRaw(mkPts(2, 200).toDF().withColumn("v", col("v") + 1.0), "minute")
+    tt.merge(a, "run1")
+    tt.merge(b, "run2") // same partitions, different run
+    val before = Rollup.present(tt.read()).collect().toSet
+    tt.merge(a, "run1") // crash-retry of run1 AFTER run2 touched the partitions
+    val after = Rollup.present(tt.read()).collect().toSet
+    assert(before == after, "retried runId must be skipped even after later runs")
+    assert(tt.resolvedEntries.forall(e => e.runIds.count(_ == "run1") == 1))
   }
 
   test("RollupJob full cascade == direct rollups; partial run + resume converges") {
@@ -96,6 +144,29 @@ class TierTableSpec extends SparkSpecBase {
     val got1d = Rollup.present(jobB.tier1d.read())
     val want1d = Rollup.present(Rollup.rollupRaw(df, "day"))
     assert(got1d.exceptAll(want1d).count() == 0 && want1d.exceptAll(got1d).count() == 0)
+  }
+
+  test("RollupJob scans the raw input exactly once per batch") {
+    // a test-only accumulator UDF below the rollup counts per-row
+    // evaluations of the raw frame: rows served from the persisted 1m
+    // partials are never re-evaluated, so total evaluations ==
+    // (n_batches + 1 distinctDays pass) × n_rows iff raw is scanned
+    // once per batch. The old lazy-cascade shape re-executed the raw
+    // scan for the 1h and 1d merges too (3× per batch → 50 000 here).
+    // (observe()-metric counting is unusable: CollectMetrics nodes
+    // break cache-plan matching, defeating the very persist under test.)
+    val acc = spark.sparkContext.longAccumulator("rawRowEvals")
+    val tick = udf { (v: Double) => acc.add(1L); v }
+    val pts = (0 until 2000).map { i =>
+      Point(s"k${i % 4}", t(i * 311), ((i * 131) % 700) / 4.0)
+    }.toDF()
+    val raw = pts.withColumn("v", tick(col("v")))
+    val job = new RollupJob(spark, tmp(), nBuckets = 4)
+    val nBatches = job.distinctDays(pts).size // uninstrumented frame
+    job.run(raw, "scanCount")
+    assert(acc.value == (nBatches + 1).toLong * 2000,
+      s"raw row evaluations ${acc.value}, want ${(nBatches + 1) * 2000} " +
+        s"(= $nBatches batches + 1 distinctDays pass, 2000 rows each)")
   }
 
   test("time-pruned read scans only in-range day partitions") {
