@@ -160,9 +160,18 @@ object Bench {
     }
 
     // headline: cascade throughput on synthetic transcripts over the
-    // bucketed ingest layout (zero-shuffle cascade)
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "2000000").toLong
-    val tiers = cascadeBenchBucketed(spark, nTurns)
+    // bucketed ingest layout (zero-shuffle cascade). Protocol aligned
+    // with ScalingBench (BENCH.md): 8M turns default so fixed job
+    // overhead doesn't dominate, inputs staged untimed, 1 warmup run,
+    // median of 3 per tier.
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    cascadeBenchBucketed(spark, nTurns) // warmup (also stages inputs)
+    val runs = (1 to 3).map(_ => cascadeBenchBucketed(spark, nTurns))
+    val tiers = runs.head.indices.map { i =>
+      val (name, _, outRows, inRows) = runs.head(i)
+      val med = runs.map(_(i)._2).sorted.apply(1)
+      (name, med, outRows, inRows)
+    }
     val tiersJson = tiers.map { case (name, sec, outRows, inRows) =>
       s""""$name":{"sec":$sec,"in_rows":$inRows,"out_rows":$outRows,"in_rows_per_sec":${(inRows / sec).toLong}}"""
     }.mkString("{", ",", "}")

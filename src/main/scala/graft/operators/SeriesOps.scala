@@ -284,6 +284,26 @@ object SeriesOps {
       .agg(sum(col("re_t")).as("re"), sum(col("im_t")).as("im"))
   }
 
+  /** Multi-bin DFT (Series.fourier across a frequency range): bins
+    * k = 1..kMax in ONE pass — the k dimension is an explode over the
+    * same positional projection, one aggregate for every (key, k).
+    * An O(n·K) closed form, not an FFT: thunder's fourier evaluates
+    * one frequency per call, and for the low-frequency spectra these
+    * pipelines inspect (K ≪ n) the explode shape beats shipping each
+    * key's full series into a local FFT (which would force a
+    * collect-per-key corner turn). Outputs rounded when oracle-checked
+    * (libm cos/sin + float-sum order differ at the last ulp). */
+  def dftBins(points: DataFrame, kMax: Int): DataFrame = {
+    val p = withPos(points).withColumn("n", count(lit(1)).over(wKey))
+    val ang = lit(-2.0) * lit(math.Pi) * col("k") * col("pos") / col("n")
+    p.select(col("key"), col("v"), col("pos"), col("n"),
+        explode(sequence(lit(1), lit(kMax))).as("k"))
+      .withColumn("re_t", col("v") * cos(ang))
+      .withColumn("im_t", col("v") * sin(ang))
+      .groupBy(col("key"), col("k"))
+      .agg(sum(col("re_t")).as("re"), sum(col("im_t")).as("im"))
+  }
+
   /** Sliding-window statistics over time order — the 1-D analogues of
     * thunder's uniform_filter / median_filter
     * (thunder/images/images.py :: Images.uniform_filter,

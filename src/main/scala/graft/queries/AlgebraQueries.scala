@@ -21,6 +21,11 @@ object AlgebraQueries extends QuerySet {
       val p = eventPoints(s, dir)
       ordered(SeriesAlgebra.dottimes(p, p).select("key", "ts", "v"))
     }),
+    "q_elementwise_dotdivide" -> ((s, dir) => {
+      val p = eventPoints(s, dir)
+      ordered(SeriesAlgebra.dotdivide(p, SeriesOps.clip(p, 5.0, 100.0))
+        .select("key", "ts", "v"))
+    }),
     "q_aggregate_by_index" -> ((s, dir) =>
       // aggregate_by_index with label = day-of-month, fn = max
       ordered(SeriesAlgebra.aggregateByIndex(eventPoints(s, dir),
@@ -66,6 +71,9 @@ object AlgebraQueries extends QuerySet {
          |FROM pts ORDER BY key, ts, v""".stripMargin,
     "q_elementwise_dottimes" ->
       s"""$ptsCte SELECT key, ts, v * v AS v
+         |FROM pts ORDER BY key, ts, v""".stripMargin,
+    "q_elementwise_dotdivide" ->
+      s"""$ptsCte SELECT key, ts, v / nullif(greatest(least(v, 100.0), 5.0), 0.0) AS v
          |FROM pts ORDER BY key, ts, v""".stripMargin,
     "q_aggregate_by_index" ->
       s"""$ptsCte SELECT key, CAST(day(ts) AS INT) AS label, MAX(v) AS v

@@ -52,6 +52,11 @@ object SeriesQueries extends QuerySet {
       SeriesOps.dftBin(eventPoints(s, dir), 1)
         .select(col("key"), round(col("re"), 6).as("re"), round(col("im"), 6).as("im"))
         .orderBy("key")),
+    "q_dft_multi" -> ((s, dir) =>
+      SeriesOps.dftBins(eventPoints(s, dir), 3)
+        .select(col("key"), col("k"),
+          round(col("re"), 6).as("re"), round(col("im"), 6).as("im"))
+        .orderBy("key", "k")),
     "q_mean_by_window" -> ((s, dir) => {
       val centers = s.range(1, 81, 20).select(col("id").as("center")) // 1,21,41,61
       ordered(SeriesOps.meanByWindow(eventPoints(s, dir), centers, 2))
@@ -205,6 +210,14 @@ object SeriesQueries extends QuerySet {
          |  round(SUM(v * cos(-2.0 * pi() * 1 * pos / n)), 6) AS re,
          |  round(SUM(v * sin(-2.0 * pi() * 1 * pos / n)), 6) AS im
          |FROM wn GROUP BY key ORDER BY key""".stripMargin,
+    "q_dft_multi" ->
+      s"""$ptsCte, wn AS (
+         |  SELECT key, v, pos, COUNT(*) OVER (PARTITION BY key) AS n FROM pts),
+         |ex AS (SELECT key, v, pos, n, CAST(k AS INT) AS k FROM wn, range(1, 4) t(k))
+         |SELECT key, k,
+         |  round(SUM(v * cos(-2.0 * pi() * k * pos / n)), 6) AS re,
+         |  round(SUM(v * sin(-2.0 * pi() * k * pos / n)), 6) AS im
+         |FROM ex GROUP BY key, k ORDER BY key, k""".stripMargin,
     "q_mean_by_window" ->
       s"""$ptsCte, centers AS (
          |  SELECT CAST(unnest(generate_series(1, 80, 20)) AS BIGINT) AS center)
