@@ -89,6 +89,48 @@ class PlanSpec extends SparkSpecBase {
     assert(shuffles(plan) <= 1, s"plan:\n$plan")
   }
 
+  test("single-pass crosscorr scans the input once (one window, lag explode)") {
+    val df = SeriesOps.crosscorr(Q.eventPoints(spark, sf("sf0.001")), 3)
+    val plan = planOf(df)
+    assert(countOccurrences(plan, "Scan parquet") == 1,
+      s"expected ONE scan regardless of maxLag:\n$plan")
+    assert(countOccurrences(plan, "Window") == 1, s"one window pass:\n$plan")
+  }
+
+  test("minhash-LSH bucket cap shows as a windowed occupancy filter before the join") {
+    val df = Dedup.minhashLsh(Tables.documents(spark, sf("sf0.001")), maxBucket = 100)
+    val plan = planOf(df)
+    assert(plan.contains("Window") && plan.contains("100"),
+      s"occupancy cap missing from plan:\n$plan")
+  }
+
+  test("LSH ANN: candidate dedup exchange carries ids only, vectors re-attach by broadcast") {
+    val e = Tables.embeddings(spark, sf("sf0.001"))
+    val df = Similarity.lshTopK(e, e.where(col("vec_id") < 3), 5, bits = 6, tables = 2)
+    val plan = planOf(df)
+    // the distinct over candidate pairs must not carry the embedding arrays
+    val distinctExchange = plan.linesIterator
+      .dropWhile(l => !l.contains("HashAggregate(keys=[q_id"))
+      .take(1).mkString
+    assert(distinctExchange.nonEmpty && !distinctExchange.contains("emb"),
+      s"embedding column rides the dedup exchange:\n$plan")
+    assert(countOccurrences(plan, "BroadcastExchange") >= 2,
+      s"vector re-attach should be broadcast joins:\n$plan")
+  }
+
+  test("RollupJob batch slice pushes a ts range into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan_batch").toString
+    Q.eventPoints(spark, sf("sf0.001")).write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    // mirror RollupJob.batchSlice on one day label
+    val tsType = pts.schema("ts").dataType
+    val sliced = pts.where(col("ts") >= lit("2024-01-05 00:00:00").cast(tsType) &&
+      col("ts") < lit("2024-01-06 00:00:00").cast(tsType))
+    val plan = planOf(Rollup.rollupRaw(sliced, "minute"))
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"batch range not pushed:\n$plan")
+  }
+
   test("whole-stage codegen covers the rollup aggregate") {
     val df = Rollup.present(Rollup.rollupRaw(Q.eventPoints(spark, sf("sf0.001")), "minute"))
     // AQE: drive THIS queryExecution so its adaptive plan finalizes
