@@ -27,6 +27,8 @@ final case class Series(df: DataFrame) {
   def subsample(k: Int): Series = wrap(SeriesOps.subsample(_, k))
   def sample(fraction: Double, seed: Long = 42L): Series =
     wrap(SeriesAlgebra.sample(_, fraction, seed))
+  def sampleDeterministic(num: Int, den: Int = 16): Series =
+    wrap(SeriesAlgebra.sampleDeterministic(_, num, den))
   def astype(to: String): Series = wrap(SeriesAlgebra.astype(_, to))
   def map(f: Column => Column): Series = wrap(_.withColumn("v", f(col("v"))))
 
@@ -41,8 +43,17 @@ final case class Series(df: DataFrame) {
   def standardize(): Series = wrap(SeriesOps.standardize)
   def zscore(): Series = wrap(SeriesOps.zscore)
   def detrend(): Series = wrap(SeriesOps.detrendLinear(_).select("key", "ts", "v"))
+  /** thunder detrend(method='nonlinear', order): 1 = linear, 2 = quadratic. */
+  def detrend(order: Int): Series = order match {
+    case 1 => detrend()
+    case 2 => wrap(SeriesOps.detrendPoly2(_).select("key", "ts", "v"))
+    case o => throw new IllegalArgumentException(s"detrend order $o (1 or 2)")
+  }
   def normalize(perc: Double = 20, offset: Double = 0.1): Series =
     wrap(SeriesOps.normalizePercentile(_, perc, offset))
+  /** thunder normalize(method='window'/'window-exact'). */
+  def normalizeWindow(half: Int, perc: Double = 20, offset: Double = 0.1): Series =
+    wrap(SeriesOps.normalizeWindow(_, half, perc, offset))
   def downsample(k: Int): Series = Series(SeriesOps.downsample(df, k))
   def meanByPanel(length: Int): Series = Series(SeriesOps.meanByPanel(df, length))
   def convolve(kernel: Seq[Double]): Series = wrap(SeriesOps.convolveSame(_, kernel))
@@ -53,10 +64,18 @@ final case class Series(df: DataFrame) {
     Rollup.present(Rollup.rollupRaw(df, unit))
   def seriesPercentile(q: Double): DataFrame = SeriesOps.seriesPercentile(df, q)
   def fourier(k: Int): DataFrame = SeriesOps.dftBin(df, k)
+  def fourierBins(kMax: Int): DataFrame = SeriesOps.dftBins(df, kMax)
   def correlateWithTime(baseEpochSec: Long): DataFrame =
     SeriesOps.correlateWithTime(df, baseEpochSec)
   def crosscorr(maxLag: Int): DataFrame = SeriesOps.crosscorr(df, maxLag)
+  /** thunder's general crosscorr(signal, lag); lag 0 row = correlate(signal). */
+  def crosscorr(signal: DataFrame, maxLag: Int): DataFrame =
+    SeriesOps.crosscorrSignal(df, signal, maxLag)
   def autocorr(lag: Int): DataFrame = SeriesOps.autocorr(df, lag)
+  def statsAcross(unit: String): DataFrame = SeriesOps.statsAcrossKeys(df, unit)
+  def distinctKeys(unit: String): DataFrame = SeriesOps.distinctKeys(df, unit)
+  def approxDistinctKeys(unit: String, rsd: Double = 0.02): DataFrame =
+    SeriesOps.approxDistinctKeys(df, unit, rsd)
   def meanByWindow(centers: DataFrame, half: Int): DataFrame =
     SeriesOps.meanByWindow(df, centers, half)
   def meanByIndex(unit: String): DataFrame = SeriesOps.meanAcrossKeys(df, unit)

@@ -55,12 +55,19 @@ object StreamingRollup {
         val t1h = new TierTable(spark, s"$root/tier_1h", nBuckets)
         val t1d = new TierTable(spark, s"$root/tier_1d", nBuckets)
         val lineage = s"$runId/$batchId"
+        // persist the partials so each micro-batch is read once, not
+        // re-executed per tier (same fix as RollupJob.run)
         val m1 = Rollup.rollupRaw(batch, "minute")
-        t1m.merge(m1, lineage)
-        val h1 = Rollup.cascade(m1, "hour")
-        t1h.merge(h1, lineage)
-        val d1 = Rollup.cascade(h1, "day")
-        t1d.merge(d1, lineage)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          t1m.merge(m1, lineage)
+          val h1 = Rollup.cascade(m1, "hour")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            t1h.merge(h1, lineage)
+            t1d.merge(Rollup.cascade(h1, "day"), lineage)
+          } finally h1.unpersist(false)
+        } finally m1.unpersist(false)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -44,6 +44,40 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stateful streaming latency equals batch lag() across micro-batch splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingLatency
+    import graft.streaming.StreamingLatency.TurnEvent
+    implicit val sqlCtx = spark.sqlContext
+
+    // 3 conversations, turns deliberately SPLIT mid-conversation across
+    // two micro-batches — the case the batch window can't see and the
+    // state must carry
+    val turns = (0 until 3).flatMap { c =>
+      (0 until 8).map(i => TurnEvent(s"c$c", i, t(c * 1000 + i * 7)))
+    }
+    val (b1, b2) = turns.partition(e => e.turn_idx < 5)
+
+    val src = MemoryStream[TurnEvent]
+    // timeoutMs = 0 (NoTimeout): a bounded replay must quiesce
+    val q = StreamingLatency.latencyPoints(src.toDS(), timeoutMs = 0)
+      .writeStream.outputMode("append").format("memory").queryName("lat_out").start()
+    src.addData(b1); q.processAllAvailable()
+    src.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("lat_out")
+      .select(col("key"), col("ts"), col("v"))
+      .orderBy("key", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2))))
+    val want = graft.operators.Signals.latencyPoints(
+        turns.map(e => model.Turn(e.conv_id, e.turn_idx, "user", "x", None, e.ts)).toDF())
+      .orderBy("key", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), Option(r.get(2))))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("watermarked windowed rollup emits exact finalized windows") {
     val srcDir = Files.createTempDirectory("graft_stream_src2").toString
     val pts = (0 until 1200).map { i =>
