@@ -14,6 +14,13 @@ export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-40g}"
 sbt -batch "runMain graft.ScalingBench 32 $TURNS materialize" >/dev/null 2>&1
 sync; sleep 5
 for CORES in $((N * 4)) "$N"; do
+  # prime the page cache identically before EVERY level: the first
+  # level otherwise reads cold files while later levels read warm ones
+  # (measured 27% on the 8-core level), biasing efficiency toward
+  # whichever level runs second.
+  cat /tmp/graft_bkt_"$TURNS"/turns/*.parquet \
+      /tmp/graft_bkt_"$TURNS"/m1/*.parquet \
+      /tmp/graft_bkt_"$TURNS"/h1/*.parquet > /dev/null 2>&1 || true
   sbt -batch "runMain graft.ScalingBench $CORES $TURNS bucketed" 2>&1 |
     grep -oE '\{"cores".*' | tail -1 >> "$OUT"
   sync; sleep 5
