@@ -247,7 +247,14 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
 
       val outDir = s"data/v$newVersion"
-      merged.write
+      // hash-distribute by the partition columns before partitionBy:
+      // otherwise every shuffle partition writes its own file into
+      // every dir it touches (up to parallelism× small files per
+      // partition dir — measured 32 files/dir at local[32]). One task
+      // per (pb, pd) group → exactly one file per partition dir, the
+      // same write distribution real Iceberg uses (distribution-mode
+      // = hash).
+      merged.repartition(col("pb"), col("pd")).write
         .partitionBy("pb", "pd")
         .mode(SaveMode.Overwrite)
         .parquet(s"$root/$outDir")
