@@ -22,13 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** L2 norm of an array<float/double> column as double. */
+  /** L2 norm of an array<float/double> column as double. Backed by the
+    * codegen'd vec_dot kernel (same sequential accumulation order as
+    * the aggregate/zip_with fold it replaced → bit-identical). */
   def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    sqrt(graft.functions.VecExpressions.vec_dot(v, v))
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VecExpressions.vec_dot(a, b)
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
@@ -76,9 +77,7 @@ object Similarity {
     * literal hyperplanes. */
   private def bucketFor(emb: Column, table: Int, bits: Int, dim: Int): Column = {
     val bitCols = (0 until bits).map { b =>
-      val p = lit(plane(table, b, dim))
-      val proj = aggregate(zip_with(emb, p, (x, h) => x.cast("double") * h),
-        lit(0.0d), (acc, x) => acc + x)
+      val proj = graft.functions.VecExpressions.vec_dot(emb, lit(plane(table, b, dim)))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)

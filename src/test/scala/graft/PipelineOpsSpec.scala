@@ -150,6 +150,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!pairs.exists(r => r.getLong(1) == 2L || r.getLong(0) == 2L))
   }
 
+  test("vec_dot codegen kernel is bit-identical to the HOF fold") {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }.toDF("id", "fa", "da")
+    val hofDot = aggregate(zip_with(col("fa"), col("da"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    val got = rows.select(
+      graft.functions.VecExpressions.vec_dot(col("fa"), col("da")).as("k"),
+      hofDot.as("h"),
+      graft.functions.VecExpressions.vec_dot(col("fa"), col("fa")).as("kff"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bit-exact, same fold order
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   test("token counts") {
