@@ -141,6 +141,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // honor the ingest layout's per-bucket sort: with one sorted
+      // file per bucket the latency window needs NO Sort node (~37%
+      // off raw→1m; Spark only reports the ordering when each bucket
+      // has ≤1 file, so this is safe session-wide). Asserted bit-equal
+      // + sort-free in BucketedCascadeSpec.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

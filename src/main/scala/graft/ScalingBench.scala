@@ -23,6 +23,9 @@ object ScalingBench {
       .config("spark.sql.shuffle.partitions", cores * 4)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // sorted-bucket scan ordering: elides the latency window's Sort
+      // (one sorted file per bucket — BucketedCascadeSpec)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

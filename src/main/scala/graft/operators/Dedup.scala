@@ -171,6 +171,28 @@ object Dedup {
           |         THEN 1L ELSE 0L END, b))""".stripMargin))
       .select(col("doc_id"), col("simhash"))
 
+  /** Engine-portable SimHash: the per-token hash is the first 16 hex
+    * chars of md5 (64 bits, nibble-major bit order), so a SQL oracle
+    * can replay every bit-majority verbatim (strpos over the hex
+    * alphabet = the portable nibble decode). Same tf-weighted Charikar
+    * scheme and pure-projection shape as [[simhash]]; the `size(th)
+    * >= 0` guard double-references the token-hash array so
+    * CollapseProject can't re-inline the md5 transform into the
+    * 64-step fold (the documented HOF-recompute trap). */
+  def simhashPortable(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("th", expr(
+        "transform(split(lower(text), '\\\\s+'), t -> substring(md5(t), 1, 16))"))
+      .withColumn("simhash", expr(
+        """CASE WHEN size(th) >= 0 THEN aggregate(
+          |  sequence(0, 63), 0L,
+          |  (acc, b) -> acc + shiftleft(
+          |    CASE WHEN 2 * size(filter(th, h ->
+          |      ((locate(substr(h, CAST(b div 4 AS INT) + 1, 1), '0123456789abcdef') - 1)
+          |        & shiftleft(1, 3 - b % 4)) > 0)) > size(th)
+          |    THEN 1L ELSE 0L END, b)) END""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxDist via 4×16-bit
     * chunk pigeonhole + exact popcount verification.
     *
@@ -179,10 +201,13 @@ object Dedup {
     * docs contributes O(bucket²) candidate pairs and almost always
     * marks boilerplate/degenerate content; such buckets are skipped
     * (bounded recall loss, bounded worst-case cost — without the cap
-    * one hot bucket makes the self-join quadratic). */
+    * one hot bucket makes the self-join quadratic).
+    *
+    * `portable = true` switches the fingerprint to the md5 hash family
+    * so the DuckDB oracle can replay the full pipeline. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
-    val sh = simhash(docs)
+      maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+    val sh = if (portable) simhashPortable(docs) else simhash(docs)
     val chunkCols = array((0 until 4).map(c =>
       shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)
     val wBucket = Window.partitionBy(col("chunk"), col("cval"))

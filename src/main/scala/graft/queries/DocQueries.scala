@@ -67,13 +67,15 @@ object DocQueries extends QuerySet {
     "q_minhash_lsh" -> ((s, dir) =>
       ordered(Dedup.minhashLsh(Tables.documents(s, dir), k = 32, bands = 8,
         portable = true))),
-    // simhash stays rows-only: per-bit token-hash majorities have no
-    // reasonable SQL mirror; semantics pinned by PipelineOpsSpec
+    // certified: the portable md5-nibble fingerprint lets the oracle
+    // replay every per-bit token majority, the chunk pigeonhole, the
+    // occupancy cap and the exact hamming verification
     "q_simhash_neardups" -> ((s, dir) =>
       // maxDist 3 = the 4×16-bit pigeonhole's guaranteed-recall regime;
       // the synthetic corpus is adversarially self-similar (small
       // vocabulary), so wider radii legitimately explode the pair set
-      ordered(Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 3))),
+      ordered(Dedup.simhashNearDups(Tables.documents(s, dir), maxDist = 3,
+        portable = true))),
     "q_fingerprint" -> ((s, dir) =>
       ordered(TextAnalysis.fingerprint(Tables.documents(s, dir))
         .select(col("doc_id"), concat_ws(",", col("fingerprint")).as("fp")))),
@@ -243,6 +245,43 @@ object DocQueries extends QuerySet {
          |SELECT doc_id,
          |       array_to_string(list_sort([md5(x) for x in s])[1:8], ',') AS fp
          |FROM sh ORDER BY doc_id, fp""".stripMargin,
+    // Replays the portable simhash bit-for-bit: per-token fingerprint =
+    // first 16 hex chars of md5 (nibble-major bits via strpos over the
+    // hex alphabet), tf-weighted bit majorities, 4×16-bit pigeonhole
+    // with the occupancy cap, exact hamming ≤ 3. Built chunk-wise
+    // (16-bit ints) so no 64-bit sign-bit gymnastics are needed —
+    // hamming(a,b) = Σ_chunks popcount(xor) is the same number as the
+    // Spark side's single 64-bit popcount.
+    "q_simhash_neardups" ->
+      """WITH th AS (
+        |  SELECT doc_id,
+        |         [substr(md5(t), 1, 16)
+        |          for t in regexp_split_to_array(lower(text), '\s+')] AS th
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, [
+        |    CAST(list_sum([
+        |      CASE WHEN 2 * len(list_filter(th, h ->
+        |          ((strpos('0123456789abcdef', substr(h, ((c*16+j) // 4) + 1, 1)) - 1)
+        |            & (1 << (3 - ((c*16+j) % 4)))) > 0)) > len(th)
+        |        THEN (1::BIGINT << j) ELSE 0 END
+        |      for j in generate_series(0, 15)]) AS INT)
+        |    for c in generate_series(0, 3)] AS cv
+        |  FROM th),
+        |chunks AS (
+        |  SELECT doc_id, cv, CAST(c AS INT) AS chunk, cv[CAST(c AS INT) + 1] AS cval
+        |  FROM sh, range(0, 4) t(c)),
+        |capped AS (
+        |  SELECT * FROM chunks
+        |  QUALIFY COUNT(*) OVER (PARTITION BY chunk, cval) <= 1000)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.cv[1], b.cv[1])) + bit_count(xor(a.cv[2], b.cv[2])) +
+        |            bit_count(xor(a.cv[3], b.cv[3])) + bit_count(xor(a.cv[4], b.cv[4])) AS INT) AS hamming
+        |FROM capped a JOIN capped b
+        |  ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.cv[1], b.cv[1])) + bit_count(xor(a.cv[2], b.cv[2])) +
+        |      bit_count(xor(a.cv[3], b.cv[3])) + bit_count(xor(a.cv[4], b.cv[4])) <= 3
+        |ORDER BY doc_a, doc_b, hamming""".stripMargin,
     "q_cosine_neardups" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
