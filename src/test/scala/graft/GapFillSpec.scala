@@ -27,6 +27,23 @@ class GapFillSpec extends SparkSpecBase {
     assert(got == Seq(2.0, 4.0, 6.0, 8.0, 5.0))
   }
 
+  test("LocalOracle.interp mirrors the distributed B.3 fixture (differential)") {
+    import graft.local.LocalOracle
+    // [2,4,6,8,5]: interpolation BETWEEN observations requires the
+    // leading-gap guard to check the SMALLEST key (a lastOption guard
+    // made the interp branch unreachable — ADVICE r01)
+    val obs = Map(0L -> 2.0, 3L -> 8.0, 4L -> 5.0)
+    assert(LocalOracle.interp(0L to 4L, obs) ==
+      Seq(Some(2.0), Some(4.0), Some(6.0), Some(8.0), Some(5.0)))
+    // leading gap (grid before first obs) is None; LOCF tail holds
+    assert(LocalOracle.interp(0L to 5L, Map(2L -> 4.0, 3L -> 6.0)) ==
+      Seq(None, None, Some(4.0), Some(6.0), Some(6.0), Some(6.0)))
+    // and it agrees with the distributed interpolate on the fixture
+    val got = GapFill.interpolate(p, "minute", "interval 1 minute")
+      .orderBy("bucket").select("v_fill").as[Double].collect().toSeq
+    assert(got == LocalOracle.interp(0L to 4L, obs).map(_.get))
+  }
+
   test("B.3 leading gap stays null; LOCF tail carries last value") {
     val q = Seq(
       Point("a", t(60), 3.0),   // first obs at minute 1
