@@ -181,15 +181,24 @@ object Dedup {
     * 64-step fold (the documented HOF-recompute trap). */
   def simhashPortable(docs: DataFrame): DataFrame =
     docs
-      .withColumn("th", expr(
-        "transform(split(lower(text), '\\\\s+'), t -> substring(md5(t), 1, 16))"))
+      // decode each token's 16 hex nibbles ONCE (array<int> per token);
+      // the 64 bit-majorities below then index into the int array
+      // instead of re-running locate/substr 4× per bit per token.
+      // md5 is bound as the OUTER lambda's variable `h` so it is
+      // evaluated once per token, not once per nibble (lambda-embedded
+      // expressions re-evaluate per inner element — the HOF trap).
+      .withColumn("tn", expr(
+        """transform(
+          |  transform(split(lower(text), '\\s+'), t -> substring(md5(t), 1, 16)),
+          |  h -> transform(sequence(0, 15), p ->
+          |         locate(substr(h, p + 1, 1), '0123456789abcdef') - 1))""".stripMargin))
       .withColumn("simhash", expr(
-        """CASE WHEN size(th) >= 0 THEN aggregate(
+        """CASE WHEN size(tn) >= 0 THEN aggregate(
           |  sequence(0, 63), 0L,
           |  (acc, b) -> acc + shiftleft(
-          |    CASE WHEN 2 * size(filter(th, h ->
-          |      ((locate(substr(h, CAST(b div 4 AS INT) + 1, 1), '0123456789abcdef') - 1)
-          |        & shiftleft(1, 3 - b % 4)) > 0)) > size(th)
+          |    CASE WHEN 2 * size(filter(tn, n ->
+          |      (element_at(n, CAST(b div 4 AS INT) + 1)
+          |        & shiftleft(1, 3 - b % 4)) > 0)) > size(tn)
           |    THEN 1L ELSE 0L END, b)) END""".stripMargin))
       .select(col("doc_id"), col("simhash"))
 
