@@ -230,7 +230,7 @@ object DocQueries extends QuerySet {
         |  SELECT q_id, vec_id, cs,
         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
         |  FROM s)
-        |SELECT q_id, rank, vec_id, round(cs, 6) AS cos
+        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) AS cos
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
@@ -331,7 +331,7 @@ object DocQueries extends QuerySet {
          |  SELECT q_id, vec_id, cs,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
          |  FROM sc)
-         |SELECT q_id, rank, vec_id, round(cs, 6) AS cos
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
   )
