@@ -45,6 +45,16 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
             n_fail += 1; continue
+        # STRICT dtype gate: the driver's comparator hashes raw values, so
+        # int64 `2` vs float64 `2.0` (e.g. DuckDB SUM(BIGINT) -> HUGEINT ->
+        # pandas float64) is a real failure even though the float-coerced
+        # compare below would pass — exactly how the r01 cascade rows
+        # slipped through this script.
+        if list(map(str, got.dtypes)) != list(map(str, want.dtypes)):
+            diffs = [f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                     for c in got.columns if str(got[c].dtype) != str(want[c].dtype)]
+            print(f"FAIL {name}: dtype mismatch ({'; '.join(diffs)})")
+            n_fail += 1; continue
         ok = True
         for c in got.columns:
             a, b = got[c], want[c]
