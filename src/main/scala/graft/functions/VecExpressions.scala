@@ -21,8 +21,11 @@ import org.apache.spark.sql.types._
   * the SAME IEEE operation sequence as the fold it replaces — so every
   * cosine/projection is bit-identical to the HOF form (the DuckDB
   * oracle rows prove it: they replay the same sequential dot).
-  * Elements are assumed non-null (embedding vectors); lengths are
-  * min-clamped like zip_with.
+  * Null semantics match the aggregate/zip_with fold it replaced: a
+  * null ELEMENT in either array makes the whole dot product NULL
+  * (null * x propagates through the fold) — and when both element
+  * types are non-nullable the generated loop carries no null checks
+  * at all. Lengths are min-clamped like zip_with's shared prefix.
   */
 object VecExpressions {
 
@@ -30,7 +33,14 @@ object VecExpressions {
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
-    override def nullable: Boolean = left.nullable || right.nullable
+
+    private def elemNullable(e: Expression): Boolean = e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+
+    override def nullable: Boolean =
+      left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
     private def elemType(e: Expression): DataType =
       e.dataType.asInstanceOf[ArrayType].elementType
@@ -51,11 +61,13 @@ object VecExpressions {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
+      val checkNulls = elemNullable(left) || elemNullable(right)
       val lf = elemType(left) == FloatType
       val rf = elemType(right) == FloatType
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
         s += xv * yv
@@ -73,10 +85,15 @@ object VecExpressions {
                    else s"$x.getDouble($i)"
         val getY = if (elemType(right) == FloatType) s"(double) $y.getFloat($i)"
                    else s"$y.getDouble($i)"
+        val nullCheck =
+          if (elemNullable(left) || elemNullable(right))
+            s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+          else ""
         s"""
            |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  $nullCheck
            |  $acc += $getX * $getY;
            |}
            |${ev.value} = $acc;

@@ -160,22 +160,37 @@ object SeriesOps {
   /** Series.detrend(method='nonlinear', order=2) (:: Series.detrend):
     * quadratic OLS fit v ~ a + b·i + c·i², residuals plus the mean.
     * Closed form by Cramer's rule on the 3×3 normal equations, built
-    * from exact sums (every moment Σi^p·v is ≤6-frac-decimal exact and
-    * below 2^53, so both engines see identical doubles; the solve is
-    * then fixed-order scalar IEEE → bit-deterministic). */
+    * from exact sums; the solve is then fixed-order scalar IEEE →
+    * bit-deterministic.
+    *
+    * Overflow discipline (r2 advice): every positional moment is
+    * accumulated in DECIMAL, never LongType — a Long Σi⁴ silently
+    * wraps (non-ANSI) once a per-key series passes ~9k points. The
+    * per-element products stay exact: i² fits a long through i ≈ 3e9
+    * and is cast to decimal(19,0) before any further multiply; i·v
+    * and i²·v quantize v to decimal(18,6) FIRST and multiply in
+    * decimal (exact), instead of a double multiply whose re-
+    * quantization is engine-dependent past ~2e9. Exact-decimal range:
+    * per-key length up to ~10^7 (Σi⁴ < 10^38); past 2^53 the final
+    * decimal→double presentation may differ from other engines by an
+    * ulp (per-key n ≲ 8k for bit-exact cross-engine moments — always
+    * true of the oracle corpora). Beyond the decimal range the sums
+    * overflow LOUDLY (null/error), never a silent wrap. */
   def detrendPoly2(points: DataFrame): DataFrame = {
     val p = withPos(points)
     val vd = col("v").cast("decimal(18,6)")
     val i = col("pos")
+    val i1d = i.cast("decimal(10,0)")
+    val i2d = (i * i).cast("decimal(19,0)") // exact: i² ≤ 9.2e18 for i ≤ 3e9
     val agg = p.groupBy(col("key")).agg(
       count(lit(1)).cast("double").as("n"),
-      sum(i).cast("double").as("s1"),
-      sum(i * i).cast("double").as("s2"),
-      sum(i * i * i).cast("double").as("s3"),
-      sum(i * i * i * i).cast("double").as("s4"),
+      sum(i1d).cast("double").as("s1"),
+      sum(i2d).cast("double").as("s2"),
+      sum(i2d * i1d).cast("double").as("s3"),
+      sum(i2d * i2d).cast("double").as("s4"),
       sum(vd).cast("double").as("t0"),
-      sum((i * col("v")).cast("decimal(27,6)")).cast("double").as("t1"),
-      sum((i * i * col("v")).cast("decimal(32,6)")).cast("double").as("t2"))
+      sum(i.cast("decimal(19,0)") * vd).cast("double").as("t1"),
+      sum(i2d * vd).cast("double").as("t2"))
     val det = col("n") * (col("s2") * col("s4") - col("s3") * col("s3")) -
       col("s1") * (col("s1") * col("s4") - col("s3") * col("s2")) +
       col("s2") * (col("s1") * col("s3") - col("s2") * col("s2"))

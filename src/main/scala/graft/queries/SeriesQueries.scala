@@ -251,13 +251,13 @@ object SeriesQueries extends QuerySet {
     "q_detrend2" ->
       s"""$ptsCte, ag AS (
          |  SELECT key, CAST(COUNT(*) AS DOUBLE) AS n,
-         |         CAST(SUM(pos) AS DOUBLE) AS s1,
-         |         CAST(SUM(pos * pos) AS DOUBLE) AS s2,
-         |         CAST(SUM(pos * pos * pos) AS DOUBLE) AS s3,
-         |         CAST(SUM(pos * pos * pos * pos) AS DOUBLE) AS s4,
+         |         CAST(SUM(CAST(pos AS DECIMAL(10,0))) AS DOUBLE) AS s1,
+         |         CAST(SUM(CAST(pos * pos AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+         |         CAST(SUM(CAST(pos * pos AS DECIMAL(19,0)) * CAST(pos AS DECIMAL(10,0))) AS DOUBLE) AS s3,
+         |         CAST(SUM(CAST(pos * pos AS DECIMAL(19,0)) * CAST(pos * pos AS DECIMAL(19,0))) AS DOUBLE) AS s4,
          |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS t0,
-         |         CAST(SUM(CAST(pos * v AS DECIMAL(27,6))) AS DOUBLE) AS t1,
-         |         CAST(SUM(CAST(pos * pos * v AS DECIMAL(32,6))) AS DOUBLE) AS t2
+         |         CAST(SUM(CAST(pos AS DECIMAL(19,0)) * CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS t1,
+         |         CAST(SUM(CAST(pos * pos AS DECIMAL(19,0)) * CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS t2
          |  FROM pts GROUP BY key),
          |co AS (
          |  SELECT key,

@@ -20,6 +20,16 @@ import graft.operators.Rollup
   * tiny relative to raw (one row per (key, minute)), so MEMORY_AND_DISK
   * is cheap insurance.
   *
+  * Batch ENUMERATION is metadata-driven (r2 verdict: the previous
+  * `distinct(date_format(ts))` + collect was one complete extra pass
+  * over raw just to list days): [[batchLabels]] reads only min(ts) /
+  * max(ts) — a column-pruned, shuffle-free aggregate that parquet DSv2
+  * answers from footer statistics when
+  * `spark.sql.parquet.aggregatePushdown` is on and the frame is
+  * scan-adjacent — and enumerates the calendar labels in between.
+  * Labels with no data cost one footer-pruned scan in their batch and
+  * publish nothing (TierTable.merge skips empty commits).
+  *
   * Batch predicates are RANGE predicates on ts ([day, day+1) bounds),
   * not date_format string equality: a range on the raw column pushes
   * into the parquet scan (row-group min/max pruning, partition pruning
@@ -58,6 +68,43 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
     case u => throw new IllegalArgumentException(s"batchUnit $u")
   }
 
+  /** Calendar labels from `lo` to `hi` inclusive. */
+  private def enumerate(lo: String, hi: String, unit: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    unit match {
+      case "day" =>
+        var d = LocalDate.parse(lo)
+        val end = LocalDate.parse(hi)
+        while (!d.isAfter(end)) { out += d.toString; d = d.plusDays(1) }
+      case "month" =>
+        var m = YearMonth.parse(lo)
+        val end = YearMonth.parse(hi)
+        while (!m.isAfter(end)) { out += m.toString; m = m.plusMonths(1) }
+      case "year" =>
+        (lo.toInt to hi.toInt).foreach(y => out += y.toString)
+      case u => throw new IllegalArgumentException(s"batchUnit $u")
+    }
+    val labels = out.result()
+    require(labels.size <= 100000,
+      s"${labels.size} $unit batches between $lo and $hi — use a coarser batchUnit")
+    labels
+  }
+
+  /** Metadata-driven batch enumeration: ONE min/max(ts) aggregate
+    * (column-pruned, no shuffle, footer-served under parquet aggregate
+    * pushdown) instead of a full distinct scan of raw. */
+  def batchLabels(points: DataFrame, batchUnit: String = "day"): Seq[String] = {
+    val p = pattern(batchUnit)
+    val r = points.agg(
+      date_format(min(col("ts")), p).as("lo"),
+      date_format(max(col("ts")), p).as("hi")).head()
+    if (r.isNullAt(0)) Nil
+    else enumerate(r.getString(0), r.getString(1), batchUnit)
+  }
+
+  /** Exact distinct batch labels — a full scan + shuffle; kept for
+    * diagnostics and sparse inputs where calendar enumeration would be
+    * mostly empty labels. The job itself uses [[batchLabels]]. */
   def distinctDays(points: DataFrame, batchUnit: String = "day"): Seq[String] =
     points.select(date_format(col("ts"), pattern(batchUnit)).as("d"))
       .distinct().orderBy("d").collect().map(_.getString(0)).toSeq
@@ -70,15 +117,25 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
     points.where(col("ts") >= lit(lo).cast(tsType) && col("ts") < lit(hi).cast(tsType))
   }
 
-  /** Run (or resume) the cascade over `points` for all its days.
+  /** Run (or resume) the cascade over `points` for all its batches.
     * `sketched = true` carries a KLL percentile-sketch column through
     * every tier alongside the exact stats. */
   def run(points: DataFrame, runId: String, sketched: Boolean = false,
-      batchUnit: String = "day"): Unit = {
-    val days = distinctDays(points, batchUnit)
-    days.foreach { day =>
-      val lineage = s"$runId/$day"
-      val dayPts = batchSlice(points, day, batchUnit)
+      batchUnit: String = "day"): Unit =
+    runBatches(points, runId, batchLabels(points, batchUnit), batchUnit, sketched)
+
+  /** Run only the first `maxBatches` batches (crash-simulation /
+    * incremental arrival). */
+  def runPartial(points: DataFrame, runId: String, maxBatches: Int,
+      batchUnit: String = "day"): Unit =
+    runBatches(points, runId, batchLabels(points, batchUnit).take(maxBatches),
+      batchUnit, sketched = false)
+
+  private def runBatches(points: DataFrame, runId: String, labels: Seq[String],
+      batchUnit: String, sketched: Boolean): Unit = {
+    labels.foreach { label =>
+      val lineage = s"$runId/$label"
+      val dayPts = batchSlice(points, label, batchUnit)
       val m1 =
         (if (sketched) graft.operators.SketchedRollup.rollupRaw(dayPts, "minute")
          else Rollup.rollupRaw(dayPts, "minute"))
@@ -95,24 +152,6 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
             if (sketched) graft.operators.SketchedRollup.cascade(h1, "day")
             else Rollup.cascade(h1, "day")
           tier1d.merge(d1, lineage)
-        } finally h1.unpersist(false)
-      } finally m1.unpersist(false)
-    }
-  }
-
-  /** Run only the first `maxBatches` day batches (crash-simulation /
-    * incremental arrival). */
-  def runPartial(points: DataFrame, runId: String, maxBatches: Int): Unit = {
-    distinctDays(points, "day").take(maxBatches).foreach { day =>
-      val lineage = s"$runId/$day"
-      val dayPts = batchSlice(points, day, "day")
-      val m1 = Rollup.rollupRaw(dayPts, "minute").persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        tier1m.merge(m1, lineage)
-        val h1 = Rollup.cascade(m1, "hour").persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          tier1h.merge(h1, lineage)
-          tier1d.merge(Rollup.cascade(h1, "day"), lineage)
         } finally h1.unpersist(false)
       } finally m1.unpersist(false)
     }

@@ -1,7 +1,7 @@
 package graft.tables
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,21 +14,36 @@ import org.apache.spark.sql.functions._
   * offline environment (checked /opt/spark/jars + coursier cache —
   * SURVEY.md §7.1), so the north_rule's "Iceberg tables / incremental
   * MERGE" lands as this thin layer implementing the same *semantics*:
-  *   - snapshot isolation: readers resolve HEAD → vN.json → explicit
-  *     file list; writers never mutate committed files;
-  *   - atomic commit with conflict detection: the manifest file is
-  *     created with CREATE_NEW (a poor-man's CAS on the version), so
-  *     two racing writers cannot both claim version N — the loser gets
-  *     a conflict error instead of silently discarding the winner's
-  *     entries; HEAD then moves by atomic rename;
+  *
+  *   - snapshot isolation: readers resolve the committed manifest
+  *     chain → explicit file list; writers never mutate committed
+  *     files;
+  *   - SINGLE-STEP atomic commit (the crash/race-safety core): each
+  *     merge attempt writes its data under a UNIQUE directory
+  *     `data/v{N}-{nonce}` and its manifest under a unique temp name,
+  *     then publishes with ONE atomic hard-link to `v{N}.json`. That
+  *     link creation is the entire commit — there is no second step
+  *     to crash between. HEAD is *derived* (max committed version on
+  *     disk), never a separately-moved file:
+  *       · racing writers that both computed version N: exactly one
+  *         link succeeds; the loser gets a conflict error AND its data
+  *         directory is its own (nonce'd), so it cannot have touched
+  *         any file the winner's manifest references — no silent data
+  *         loss (the failure mode of the previous shared data/v{N} +
+  *         SaveMode.Overwrite layout);
+  *       · a writer crashing pre-link leaves only an unreferenced
+  *         tmp manifest + orphan data dir — invisible to readers and
+  *         to the next writer (no wedged table, unlike the previous
+  *         CREATE_NEW-then-move-HEAD scheme where a crash between the
+  *         two steps made every later commit conflict forever);
+  *       · orphans are reclaimed by [[vacuum]], never implicitly.
   *   - DELTA manifests (manifest-of-manifests, like Iceberg's
   *     snapshot → manifest-list indirection): each commit writes only
   *     the partitions it touched plus a parent pointer; readers walk
   *     the chain to the nearest FULL snapshot, first-seen-wins. Commit
-  *     I/O is O(touched partitions), not O(table partitions) — at
-  *     millions of partitions a full rewrite per commit is a
-  *     scale-killer. Every `compactEvery`-th commit writes a full
-  *     snapshot so chains stay short;
+  *     I/O is O(touched partitions), not O(table partitions). Every
+  *     `compactEvery`-th commit writes a full snapshot so chains stay
+  *     short;
   *   - hidden partitioning: data laid out by (pb = bucket(key),
   *     pd = day(bucket)) — the Iceberg transform pair
   *     bucket(N, conv_id) × days(ts) from SURVEY.md §4.2;
@@ -37,30 +52,37 @@ import org.apache.spark.sql.functions._
   *     the touched partitions via the exact mergeable-stat merge
   *     (sum of decimal sums — associative, so re-merging is
   *     idempotent), untouched partitions carry forward by reference;
-  *   - resume: every committed partition records its full lineage
-  *     (ALL runIds that ever touched it, plus rows/bytes) — a re-run
-  *     of a runId skips partitions that already include it, even if
-  *     OTHER runs committed to the same partition in between (a single
-  *     runId field would forget history and double-merge on retry).
+  *   - resume: every committed partition records its runId lineage
+  *     (a real JSON array — ids survive any character) — a re-run of
+  *     a runId skips partitions that already include it, even if
+  *     OTHER runs committed to the same partition in between. Lineage
+  *     is compacted to the most recent `maxLineage` runIds at full
+  *     snapshots (so it cannot grow without bound); the documented
+  *     contract is therefore: resume is idempotent for any runId
+  *     within the last `maxLineage` runs that touched the partition.
+  *   - empty merges (no rows, or fully-resumed batch) publish
+  *     nothing: no version churn from calendar-enumerated empty
+  *     batches or replayed micro-batches.
+  *
   * The interface is format-agnostic so a real Iceberg catalog can be
   * swapped in where one exists.
   */
-final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
-    compactEvery: Int = 8) {
+class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
+    compactEvery: Int = 8, maxLineage: Int = 256) {
 
   private val rootPath = Paths.get(root)
   private val dataDir = rootPath.resolve("data")
   private val metaDir = rootPath.resolve("_meta")
-  private val headFile = metaDir.resolve("HEAD")
 
   Files.createDirectories(dataDir)
   Files.createDirectories(metaDir)
 
   // ---- manifest model (hand-rolled JSON: no extra deps) -------------
 
-  /** One committed partition: relative dir, full runId lineage +
-    * metrics. `runIds` lists every run that has been merged into this
-    * partition's current contents (ordered by commit). */
+  /** One committed partition: relative dir, runId lineage + metrics.
+    * `runIds` lists every run that has been merged into this
+    * partition's current contents (ordered by commit; bounded by
+    * `maxLineage` at full-snapshot compactions). */
   case class PartEntry(pb: Int, pd: String, dir: String, rows: Long,
       bytes: Long, runIds: Seq[String])
 
@@ -69,36 +91,69 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   case class Manifest(version: Int, parent: Int, full: Boolean,
       entries: Seq[PartEntry])
 
+  // ']' is escaped so the minimal regex parser's runIds-array match
+  // (`\[[^\]]*\]`) can never be cut short by a bracket inside an id
   private def esc(s: String) = s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case '"' => "\\\""; case '\\' => "\\\\"; case ']' => "\\u005d"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
+  }
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' => b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+        case e => b.append(e); i += 2
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   private def manifestJson(m: Manifest): String = {
     val es = m.entries.map { e =>
-      s"""{"pb":${e.pb},"pd":"${esc(e.pd)}","dir":"${esc(e.dir)}","rows":${e.rows},"bytes":${e.bytes},"runIds":"${esc(e.runIds.mkString(","))}"}"""
+      val ids = e.runIds.map(r => "\"" + esc(r) + "\"").mkString("[", ",", "]")
+      s"""{"pb":${e.pb},"pd":"${esc(e.pd)}","dir":"${esc(e.dir)}","rows":${e.rows},"bytes":${e.bytes},"runIds":$ids}"""
     }.mkString("[", ",", "]")
     s"""{"version":${m.version},"parent":${m.parent},"full":${m.full},"entries":$es}"""
   }
+
+  private val quoted = """"((?:[^"\\]|\\.)*)"""".r
 
   private def parseManifest(s: String): Manifest = {
     // minimal parser for the writer's own format
     val version = """"version":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
     val parent = """"parent":(-?\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
     val full = """"full":(true|false)""".r.findFirstMatchIn(s).get.group(1).toBoolean
-    val entry = """\{"pb":(\d+),"pd":"([^"]*)","dir":"([^"]*)","rows":(\d+),"bytes":(\d+),"runIds":"([^"]*)"\}""".r
+    val entry =
+      """\{"pb":(\d+),"pd":"([^"]*)","dir":"([^"]*)","rows":(\d+),"bytes":(\d+),"runIds":\[([^\]]*)\]\}""".r
     val entries = entry.findAllMatchIn(s).map { m =>
+      val ids = quoted.findAllMatchIn(m.group(6)).map(q => unesc(q.group(1))).toSeq
       PartEntry(m.group(1).toInt, m.group(2), m.group(3), m.group(4).toLong,
-        m.group(5).toLong,
-        m.group(6).split(',').toSeq.filter(_.nonEmpty))
+        m.group(5).toLong, ids)
     }.toSeq
     Manifest(version, parent, full, entries)
   }
 
+  private val versionFile = """v(\d+)\.json""".r
+
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  /** HEAD is DERIVED: the highest committed (= atomically linked)
+    * version file. A crashed writer's tmp manifest never matches the
+    * pattern, so it can neither be read nor block future commits. */
   def currentVersion: Int =
-    if (Files.exists(headFile))
-      new String(Files.readAllBytes(headFile), StandardCharsets.UTF_8).trim.toInt
-    else -1
+    listDir(metaDir).flatMap { p =>
+      p.getFileName.toString match {
+        case versionFile(n) => Some(n.toInt)
+        case _ => None
+      }
+    }.foldLeft(-1)(math.max)
 
   private def manifestAt(v: Int): Manifest =
     parseManifest(new String(
@@ -112,9 +167,11 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   /** Resolve the live partition set at HEAD: walk the delta chain down
     * to the nearest full snapshot, newest entry wins per partition.
     * O(chain length) manifest reads — bounded by `compactEvery`. */
-  def resolvedEntries: Seq[PartEntry] = {
+  def resolvedEntries: Seq[PartEntry] = resolvedAt(currentVersion)
+
+  private def resolvedAt(head: Int): Seq[PartEntry] = {
     val seen = scala.collection.mutable.LinkedHashMap[(Int, String), PartEntry]()
-    var v = currentVersion
+    var v = head
     var done = v < 0
     while (!done) {
       val m = manifestAt(v)
@@ -126,26 +183,35 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     seen.values.toSeq
   }
 
-  /** Atomic commit with conflict detection: CREATE_NEW on the version
-    * file is the CAS — a racing writer that computed the same version
-    * fails here (and must retry against the new snapshot) instead of
-    * silently clobbering the winner's commit. */
+  /** Test seam: runs just before the atomic publish (after data +
+    * temp manifest are written). Lets a spec inject a racing winner
+    * at the exact CAS window. */
+  protected def beforeCommit(version: Int): Unit = ()
+
+  /** Single-step atomic commit: hard-link the already-written temp
+    * manifest to its version name. Link creation is atomic on POSIX;
+    * a concurrent writer that claimed the same version makes it throw
+    * FileAlreadyExistsException → surfaced as a commit conflict. The
+    * loser has written only to its own nonce'd data dir and its own
+    * temp manifest, so the winner's snapshot is untouched. */
   private def commit(m: Manifest): Unit = {
-    val vFile = metaDir.resolve(s"v${m.version}.json")
-    try
-      Files.write(vFile, manifestJson(m).getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW)
+    val tmp = metaDir.resolve(s"tmp-${nonce()}.json")
+    Files.write(tmp, manifestJson(m).getBytes(StandardCharsets.UTF_8))
+    beforeCommit(m.version)
+    try Files.createLink(metaDir.resolve(s"v${m.version}.json"), tmp)
     catch {
       case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
         throw new IllegalStateException(
           s"commit conflict: version ${m.version} of $root already exists " +
-            "(concurrent writer) — re-read the snapshot and retry the merge")
+            "(concurrent writer) — re-read the snapshot and retry the merge " +
+            "(this writer's data dir is orphaned, reclaimable via vacuum())")
     }
-    val tmp = metaDir.resolve(s"HEAD.tmp${m.version}")
-    Files.write(tmp, m.version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, headFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    Files.deleteIfExists(tmp)
   }
+
+  private def nonce(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   // ---- read ---------------------------------------------------------
 
@@ -179,14 +245,17 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * Steps: 1) affected partitions = distinct (pb, pd) of the update;
     * 2) combined = (existing rows of affected ∪ updates) re-merged on
     * (key, bucket) — exact; 3) write each affected partition under
-    * data/v{N}/pb=…/pd=…; 4) commit a DELTA manifest carrying only the
-    * rewritten partitions (a full snapshot every `compactEvery`
-    * commits); atomic CAS + HEAD swap.
+    * the attempt-unique data/v{N}-{nonce}/pb=…/pd=…; 4) publish a
+    * DELTA manifest carrying only the rewritten partitions (a full
+    * snapshot every `compactEvery` commits) with the single-link
+    * atomic commit.
     *
     * Resume: a partition whose lineage already contains `runId` is
     * skipped (entry carries forward by reference), so re-running a
     * partially failed job converges without double-merging — even if
-    * other runs have since committed to the same partitions.
+    * other runs have since committed to the same partitions. A merge
+    * with nothing to write (empty update, or every partition already
+    * resumed) publishes NO new version.
     *
     * Driver memory: the collected state is O(live partitions) for the
     * resolve plus O(touched partitions) for counts/bytes — the same
@@ -194,8 +263,8 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * O(touched) only.
     */
   def merge(updates: DataFrame, runId: String): Manifest = {
-    val resolved = resolvedEntries.map(e => (e.pb, e.pd) -> e).toMap
     val prevVersion = currentVersion
+    val resolved = resolvedAt(prevVersion).map(e => (e.pb, e.pd) -> e).toMap
     val newVersion = prevVersion + 1
     val makeFull = newVersion % compactEvery == 0
     val upd = withPartCols(updates).cache()
@@ -206,11 +275,8 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
         case (part, e) if e.runIds.contains(runId) => part
       }.toSet
       val todo = affected -- doneForRun
-      if (todo.isEmpty) { // fully resumed: nothing to rewrite
-        val m = Manifest(newVersion, prevVersion, makeFull,
-          if (makeFull) resolved.values.toSeq else Nil)
-        commit(m)
-        return m
+      if (todo.isEmpty) { // empty batch or fully resumed: publish nothing
+        return currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
       }
       val todoDf = todo.toSeq.toDF_(spark)
 
@@ -246,7 +312,11 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       val counts = merged.groupBy(col("pb"), col("pd")).count().collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
 
-      val outDir = s"data/v$newVersion"
+      // attempt-unique data dir: a CAS loser or crashed writer can
+      // never have written into a directory a committed manifest
+      // references (ADVICE r2: the shared data/v{N} + Overwrite layout
+      // let the loser delete the winner's files)
+      val outDir = s"data/v$newVersion-${nonce()}"
       // hash-distribute by the partition columns before partitionBy:
       // otherwise every shuffle partition writes its own file into
       // every dir it touches (up to parallelism× small files per
@@ -268,13 +338,43 @@ final class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       }
       val entries =
         if (makeFull)
-          resolved.filterNot { case (part, _) => todo.contains(part) }
-            .values.toSeq ++ newEntries
+          (resolved.filterNot { case (part, _) => todo.contains(part) }
+            .values.toSeq ++ newEntries)
+            .map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))
         else newEntries
       val m = Manifest(newVersion, prevVersion, makeFull, entries)
       commit(m)
       m
     } finally upd.unpersist()
+  }
+
+  /** Reclaim orphan data directories: attempt-unique dirs written by
+    * crashed or CAS-losing writers that no committed manifest (at any
+    * version — older snapshots stay readable) references. Never
+    * touches a referenced file; safe to run concurrently with
+    * readers, but not with an in-flight writer (its pre-commit data
+    * dir looks like an orphan — same rule as Iceberg's
+    * remove-orphan-files maintenance). Returns deleted dir count. */
+  def vacuum(): Int = {
+    val referenced: Set[String] =
+      (0 to currentVersion).flatMap { v =>
+        val p = metaDir.resolve(s"v$v.json")
+        if (Files.exists(p)) manifestAt(v).entries.map(_.dir.split('/').take(2).mkString("/"))
+        else Nil
+      }.toSet
+    val victims = listDir(dataDir)
+      .filter(p => !referenced.contains(s"data/${p.getFileName}"))
+    victims.foreach(deleteRecursively)
+    // stray temp manifests from crashed writers
+    listDir(metaDir)
+      .filter(_.getFileName.toString.startsWith("tmp-"))
+      .foreach(Files.deleteIfExists(_))
+    victims.size
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 
   private def dirSize(p: Path): Long =
