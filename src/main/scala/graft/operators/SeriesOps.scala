@@ -319,6 +319,31 @@ object SeriesOps {
       .agg(sum(col("re_t")).as("re"), sum(col("im_t")).as("im"))
   }
 
+  /** Series.fourier, full spectrum (:: Series.fourier generalized
+    * from one bin to all k = 0..n−1): per-key O(n log n) FFT over the
+    * wide form. The series corner-turns into one array per key
+    * (collect_list + sort — the Blocks wide-form shape, one shuffle
+    * on key), then [[graft.functions.FftExpressions.fft_coeffs]] runs
+    * once per key and the spectrum explodes back to tall (key, k, re,
+    * im) rows. Complements [[dftBins]]: dftBins wins when K ≪ n (no
+    * corner-turn, one scan); the FFT wins when the full spectrum is
+    * wanted (K ~ n), where the explode shape would cost O(n·K) = O(n²)
+    * work per key. Spectrum values carry FFT-vs-naive rounding at the
+    * eps·log n level → oracle comparisons use round(…, 6) on a
+    * zscored (O(1)-magnitude, bit-portable) input, the same libm
+    * discipline as dftBin. */
+  def fftSpectrum(points: DataFrame): DataFrame = {
+    val wide = withPos(points)
+      .groupBy(col("key"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("sv"))
+      .select(col("key"), expr("transform(sv, s -> s.v)").as("vs"))
+    wide
+      .select(col("key"),
+        posexplode(graft.functions.FftExpressions.fft_coeffs(col("vs"))))
+      .select(col("key"), col("pos").cast("int").as("k"),
+        col("col.re").as("re"), col("col.im").as("im"))
+  }
+
   /** Sliding-window statistics over time order — the 1-D analogues of
     * thunder's uniform_filter / median_filter
     * (thunder/images/images.py :: Images.uniform_filter,
@@ -426,6 +451,33 @@ object SeriesOps {
       .groupBy(col("key"), (col("pos") - col("center")).as("offset"))
       .agg(count(lit(1)).as("n"),
         (sum(vd).cast("double") / count(lit(1))).as("v"))
+  }
+
+  /** Series.mean_by_window with PER-RECORD indices — thunder's actual
+    * form (`indices` belong to each record): centers arrive as a
+    * (key, center) DataFrame, the join is an equi-join on key plus
+    * the positional range predicate, and offsets aggregate per key.
+    * The center table is small (a handful of event positions per
+    * key) so AQE broadcasts it; the big side joins on its existing
+    * key partitioning — no embedding-style payload ever moves. */
+  def meanByWindowPerKey(points: DataFrame, centers: DataFrame, half: Int): DataFrame = {
+    val p = withPos(points)
+    p.join(centers, Seq("key"))
+      .where(col("pos") >= col("center") - half && col("pos") <= col("center") + half)
+      .groupBy(col("key"), (col("pos") - col("center")).as("offset"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("v"))
+  }
+
+  /** Per-key event centers for [[meanByWindowPerKey]]: the position of
+    * each key's maximum value (earliest on ties) — the "average the
+    * neighborhood around each series' peak" trigger, deterministic and
+    * SQL-replayable. */
+  def peakCenters(points: DataFrame): DataFrame = {
+    val p = withPos(points)
+    p.withColumn("mx", max(col("v")).over(wKey))
+      .where(col("v") === col("mx"))
+      .groupBy(col("key")).agg(min(col("pos")).as("center"))
   }
 
   // ---- §2.3 across-record aggregation --------------------------------

@@ -17,6 +17,11 @@ object AlgebraQueries extends QuerySet {
       ordered(SeriesAlgebra.minus(p, SeriesOps.clip(p, 5.0, 100.0))
         .select("key", "ts", "v"))
     }),
+    "q_elementwise_plus" -> ((s, dir) => {
+      val p = eventPoints(s, dir)
+      ordered(SeriesAlgebra.plus(p, SeriesOps.clip(p, 5.0, 100.0))
+        .select("key", "ts", "v"))
+    }),
     "q_elementwise_dottimes" -> ((s, dir) => {
       val p = eventPoints(s, dir)
       ordered(SeriesAlgebra.dottimes(p, p).select("key", "ts", "v"))
@@ -68,6 +73,9 @@ object AlgebraQueries extends QuerySet {
   val oracles: Map[String, String] = Map(
     "q_elementwise_minus" ->
       s"""$ptsCte SELECT key, ts, v - greatest(least(v, 100.0), 5.0) AS v
+         |FROM pts ORDER BY key, ts, v""".stripMargin,
+    "q_elementwise_plus" ->
+      s"""$ptsCte SELECT key, ts, v + greatest(least(v, 100.0), 5.0) AS v
          |FROM pts ORDER BY key, ts, v""".stripMargin,
     "q_elementwise_dottimes" ->
       s"""$ptsCte SELECT key, ts, v * v AS v

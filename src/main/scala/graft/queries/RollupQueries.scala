@@ -14,16 +14,18 @@ object RollupQueries extends QuerySet {
     * The sumsq multiply widens one operand to DECIMAL(19,6) so the
     * product is computed in int128 regardless of the DuckDB build's
     * int64-multiply fast path (known quirk — CLAUDE.md). */
-  private val ev1mCte: String =
-    """WITH r1m AS (
-      |  SELECT CAST(user_id AS VARCHAR) AS key,
-      |         date_trunc('minute', ts) AS bucket,
-      |         COUNT(*) AS cnt,
-      |         SUM(CAST(value AS DECIMAL(18,6))) AS sum_d,
-      |         SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))) AS sumsq_d,
-      |         MIN(value) AS min_v, MAX(value) AS max_v
-      |  FROM events GROUP BY 1, 2
-      |)""".stripMargin
+  private def ev1mCteWhere(where: String): String =
+    s"""WITH r1m AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS key,
+       |         date_trunc('minute', ts) AS bucket,
+       |         COUNT(*) AS cnt,
+       |         SUM(CAST(value AS DECIMAL(18,6))) AS sum_d,
+       |         SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(18,6))) AS sumsq_d,
+       |         MIN(value) AS min_v, MAX(value) AS max_v
+       |  FROM events $where GROUP BY 1, 2
+       |)""".stripMargin
+
+  private val ev1mCte: String = ev1mCteWhere("")
 
   /** CAST(SUM(cnt) AS BIGINT): DuckDB's SUM over BIGINT returns
     * HUGEINT, which pandas renders as float64 — the driver comparator
@@ -81,6 +83,43 @@ object RollupQueries extends QuerySet {
     "q_transcript_rollup_1m" -> ((s, dir) =>
       ordered(Rollup.present(Rollup.rollupRaw(transcriptPoints(s, dir), "minute"))
         .drop("std_v"))),
+    // FLAGSHIP MACHINERY, driver-certified end-to-end (r2 verdict
+    // next-#1): the incremental MERGE job over day batches — run the
+    // first 2 batches, then re-run the WHOLE job with the same runId
+    // (the 2 committed batches resume via partition lineage, the rest
+    // merge fresh) — must equal the one-shot cascade bit-for-bit.
+    // 5-day slice keeps the batch count honest (≥2) without turning
+    // the catalog bench into 90 merges.
+    "q_tier_merge" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qtm_${math.abs(dir.hashCode).toString}")
+      val job = new graft.tables.RollupJob(s, root, nBuckets = 4)
+      job.runPartial(pts, "qtm_run", maxBatches = 2) // "crash" after 2 days
+      job.run(pts, "qtm_run")                        // resume + finish
+      ordered(Rollup.present(job.tier1d.read()))
+    }),
+    // Streaming twin of the cascade (r2 verdict next-#7): replay the
+    // events table as a bounded file stream in ≥3 micro-batches
+    // through StreamingRollup.cascadeWriter (foreachBatch MERGE with
+    // runId/batchId lineage); the final 1m tier must hash-match the
+    // batch q_rollup_1m oracle on the same input.
+    "q_streaming_rollup" -> ((s, dir) => {
+      val base = freshDir(s"graft_qsr_${math.abs(dir.hashCode).toString}")
+      val ev = graft.Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.StreamingRollup
+        .cascadeWriter(Signals.fromEvents(stream), s"$base/tiers", "qsr_run", nBuckets = 4)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      val t1m = new graft.tables.TierTable(s, s"$base/tiers/tier_1m", nBuckets = 4)
+      ordered(Rollup.present(t1m.read()))
+    }),
     "q_text_digest" -> ((s, dir) =>
       // shuffle-order-proof digest: collect (turn_idx, text) pairs,
       // sort inside the aggregate, then hash — FIXTURES.md §B.6
@@ -96,7 +135,30 @@ object RollupQueries extends QuerySet {
         .orderBy("conv_id")),
   )
 
+  private val tierMergeCut = "2024-01-06 00:00:00"
+
+  /** First-5-days slice of the event points (ts-range predicate on
+    * the raw column → pushes into the scan). */
+  private def tierMergeSlice(s: SparkSession, dir: String): DataFrame = {
+    val p = eventPoints(s, dir)
+    p.where(col("ts") < lit(tierMergeCut).cast(p.schema("ts").dataType))
+  }
+
+  /** Fresh (deleted-if-present) temp dir for stateful query fixtures. */
+  private def freshDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), name)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_tier_merge" ->
+      s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut'")}, ${cascadeCte("r1h", "r1m", "hour")}, ${cascadeCte("r1d", "r1h", "day")} ${presentSql("r1d")}""",
+    "q_streaming_rollup" -> s"$ev1mCte ${presentSql("r1m")}",
     "q_rollup_1m" -> s"$ev1mCte ${presentSql("r1m")}",
     "q_rollup_1h_cascade" ->
       s"""$ev1mCte, ${cascadeCte("r1h", "r1m", "hour")} ${presentSql("r1h")}""",
