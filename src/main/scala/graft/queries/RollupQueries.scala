@@ -120,6 +120,40 @@ object RollupQueries extends QuerySet {
       val t1m = new graft.tables.TierTable(s, s"$base/tiers/tier_1m", nBuckets = 4)
       ordered(Rollup.present(t1m.read()))
     }),
+    // Stateful streaming latency derive (StreamingLatency): transcripts
+    // replayed as a file stream chunked by turn_idx RANGES (per-conv
+    // in-order arrival across micro-batches — the operator's contract),
+    // lag state carried across batches by flatMapGroupsWithState
+    // (NoTimeout: bounded replay, CLAUDE.md discipline); must equal the
+    // batch lag-window derivation bit-for-bit.
+    "q_streaming_latency" -> ((s, dir) => {
+      import s.implicits._
+      val base = freshDir(s"graft_qsl_${math.abs(dir.hashCode).toString}")
+      val tr = graft.Tables.transcripts(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("ts").cast("timestamp").as("ts"))
+      // sequential chunk writes: file mtime order == turn order
+      Seq(col("turn_idx") < 4,
+          col("turn_idx") >= 4 && col("turn_idx") < 9,
+          col("turn_idx") >= 9)
+        .foreach(p => tr.where(p).coalesce(1).write.mode("append").parquet(s"$base/in"))
+      val stream = s.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .as[graft.streaming.StreamingLatency.TurnEvent]
+      val name = s"qsl_${math.abs(base.hashCode).toString}"
+      val q = graft.streaming.StreamingLatency.latencyPoints(stream, timeoutMs = 0)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).where(col("v").isNotNull)
+        // back to NTZ so the dump's dtype matches the naive oracle
+        // timestamps (session TZ pinned UTC → identity on wall time)
+        .select(col("key"), col("ts").cast("timestamp_ntz").as("ts"),
+          col("v").as("latency_ms"))
+        .orderBy("key", "ts", "latency_ms")
+    }),
     "q_text_digest" -> ((s, dir) =>
       // shuffle-order-proof digest: collect (turn_idx, text) pairs,
       // sort inside the aggregate, then hash — FIXTURES.md §B.6
@@ -165,6 +199,12 @@ object RollupQueries extends QuerySet {
     "q_rollup_1d_cascade" ->
       s"""$ev1mCte, ${cascadeCte("r1h", "r1m", "hour")}, ${cascadeCte("r1d", "r1h", "day")} ${presentSql("r1d")}""",
     "q_latency_derive" ->
+      s"""${Oracle.transcriptsCte}
+         |SELECT conv_id AS key, ts,
+         |       (epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1000.0 AS latency_ms
+         |FROM transcripts QUALIFY latency_ms IS NOT NULL
+         |ORDER BY key, ts, latency_ms""".stripMargin,
+    "q_streaming_latency" ->
       s"""${Oracle.transcriptsCte}
          |SELECT conv_id AS key, ts,
          |       (epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx))) / 1000.0 AS latency_ms

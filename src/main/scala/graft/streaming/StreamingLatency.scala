@@ -27,7 +27,13 @@ object StreamingLatency {
   case class ConvState(lastIdx: Int, lastTsUs: Long)
   case class LatencyPoint(key: String, ts: java.sql.Timestamp, v: Option[Double])
 
-  private def tsUs(t: java.sql.Timestamp): Long = t.getTime * 1000L
+  // full microsecond precision: Timestamp.getTime is ms-truncated and
+  // would silently diverge from the batch path's unix_micros lag on
+  // real event times (µs components); the nanos field carries the rest
+  private def tsUs(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   def derive(conv: String, events: Iterator[TurnEvent],
       state: GroupState[ConvState], timeoutMs: Long): Iterator[LatencyPoint] = {
