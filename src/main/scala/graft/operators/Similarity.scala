@@ -140,6 +140,65 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN top-k — the second scale path beside
+    * sign-LSH: coarse-quantize the corpus into inverted lists, probe
+    * only the lists nearest the query.
+    *
+    * Coarse quantizer: PIVOT-based — centroids are the corpus vectors
+    * with `vec_id % centroidStep == 0` (deterministic and replayable
+    * in plain SQL, which is what lets the driver oracle certify the
+    * whole pipeline; at 100 TB swap in k-means centroids — every
+    * downstream shape is identical). Each vector joins the inverted
+    * list of its max-cosine pivot (ties → smallest pivot id); a query
+    * probes its `nProbe` nearest pivots and exact-re-ranks only those
+    * lists' members. Candidate volume per query ≈ n·nProbe/C instead
+    * of n.
+    *
+    * Scale shape: pivots are broadcast (C ≈ √n rows); assignment is
+    * one broadcast nested-loop score + per-vector argmax — scan-local
+    * work, vectors never shuffle for it; `maxList` caps inverted-list
+    * occupancy (hot-pivot guard, same discipline as the LSH bucket
+    * caps); candidate ids flow through an id-only join and vectors
+    * re-attach with AQE-chosen strategy (no forced broadcast of the
+    * unbounded side). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidStep: Int = 64, nProbe: Int = 4, maxList: Int = 100000): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
+      l2norm(col("embedding")).as("nrm"))
+    val cents = c.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    def nearest(side: DataFrame, idCol: String, embCol: String, nrmCol: String,
+        keep: Int): DataFrame = {
+      val scored = side.join(broadcast(cents))
+        .select(col(idCol), col("cent_id"),
+          cosine(col(embCol), col("cent_emb"), col(nrmCol), col("cent_nrm")).as("cs"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("cs").desc, col("cent_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= keep)
+        .select(col(idCol), col("cent_id"))
+    }
+    val wList = Window.partitionBy(col("cent_id"))
+    val assign = nearest(c, "vec_id", "emb", "nrm", keep = 1)
+      .withColumn("occ", count(lit(1)).over(wList))
+      .where(col("occ") <= maxList)
+      .drop("occ")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      l2norm(col("embedding")).as("q_nrm"))
+    val probes = nearest(q, "q_id", "q_emb", "q_nrm", keep = nProbe)
+    val candIds = assign.join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val scored = c.join(candIds, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("emb"), col("q_emb"), col("nrm"), col("q_nrm")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup), via
     * sign-LSH candidate buckets + exact verification.
     *

@@ -88,6 +88,17 @@ object DocQueries extends QuerySet {
         .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+    // IVF ANN (the second scale path beside sign-LSH): pivot coarse
+    // quantizer (vec_id % 64), nProbe=4 — the oracle replays the WHOLE
+    // pipeline (assignment argmax, probe set, re-rank) in SQL; min
+    // assignment margin on these corpora is 7.7e-7, nine orders above
+    // cross-engine ulp noise, so every list membership is portable
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
     // Recall certification with PLANTED near-duplicates: the first 20
     // vectors re-enter with one component scaled by 1.25f (exactly
     // representable, so the float arithmetic is engine-portable) →
@@ -308,6 +319,36 @@ object DocQueries extends QuerySet {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
         |ORDER BY id_a, id_b, cos""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 64 = 0),
+        |ac AS (SELECT c.vec_id, cent_id, list_cosine_similarity(c.e, ce) AS cs
+        |       FROM c CROSS JOIN cents),
+        |assign AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+        |    FROM ac) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id < 5),
+        |qc AS (SELECT q_id, cent_id, list_cosine_similarity(qe, ce) AS cs
+        |       FROM q CROSS JOIN cents),
+        |probes AS (
+        |  SELECT q_id, cent_id FROM (
+        |    SELECT q_id, cent_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cent_id) AS rn
+        |    FROM qc) WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT q_id, vec_id
+        |  FROM assign JOIN probes USING (cent_id) WHERE vec_id <> q_id),
+        |sc AS (
+        |  SELECT cand.q_id, cand.vec_id, list_cosine_similarity(c.e, q.qe) AS cs
+        |  FROM cand JOIN c USING (vec_id) JOIN q USING (q_id)),
+        |r AS (
+        |  SELECT q_id, vec_id, cs,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+        |  FROM sc)
+        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) AS cos
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_lsh" -> {
       val (bits, tables, dim) = (8, 6, 64)
       val cb = (0 until tables).map(t =>

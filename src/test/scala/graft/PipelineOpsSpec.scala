@@ -140,6 +140,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("IVF ANN: probing a few inverted lists finds the true top neighbor on clustered data") {
+    val rng = new scala.util.Random(3)
+    val clusters = Array.fill(5)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val rows = (0 until 320).map { i =>
+      val c = clusters(i % 5)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val queries = rows.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(rows, queries, 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    // pivot step 20 → 16 pivots over 5 clusters; 4 probes
+    val ivf = Similarity.ivfTopK(rows, queries, 1, centroidStep = 20, nProbe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val recall = exact.count { case (q, v) => ivf.get(q).contains(v) }.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // and the candidate set is genuinely pruned: with 16 pivots and 4
+    // probes each query scores ≤ ~1/2 of the corpus, not all of it
+    val cand = Similarity.ivfTopK(rows, queries, 1000, centroidStep = 20, nProbe = 4)
+      .groupBy("q_id").count().select(max("count")).head().getLong(0)
+    assert(cand < 320 * 3 / 4, s"worst-case candidates $cand of 320")
+  }
+
   test("cosine self-join near-dups") {
     val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val rows = Seq(embRow(0, base, 0f), embRow(1, base, 0.005f),
