@@ -140,6 +140,14 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Adaptive IVF pivot step: step ≈ √n over dense vec_ids gives a
+    * pivot count C = n/step ≈ √n — the classic IVF nlist sizing. The
+    * pivot broadcast grows as √n (not n), per-query exact work shrinks
+    * to ≈ nProbe·n/C ≈ nProbe·√n, and assignment cost is the standard
+    * n·C distance evaluations every IVF build pays. */
+  def autoStep(corpusSize: Long): Int =
+    math.max(2, math.ceil(math.sqrt(math.max(corpusSize, 1).toDouble)).toInt)
+
   /** IVF (inverted-file) ANN top-k — the second scale path beside
     * sign-LSH: coarse-quantize the corpus into inverted lists, probe
     * only the lists nearest the query.
@@ -154,7 +162,10 @@ object Similarity {
     * lists' members. Candidate volume per query ≈ n·nProbe/C instead
     * of n.
     *
-    * Scale shape: pivots are broadcast (C ≈ √n rows); assignment is
+    * Scale shape: pivots are broadcast and their count is BOUNDED —
+    * `centroidStep ≤ 0` derives the step via [[autoStep]] so C ≈ √n
+    * (the classic IVF nlist sizing): the broadcast is ~√n·dim doubles
+    * (≈16 MB at 10⁹ × 64-d), never linear in the corpus. Assignment is
     * one broadcast nested-loop score + per-vector argmax — scan-local
     * work, vectors never shuffle for it; `maxList` caps inverted-list
     * occupancy (hot-pivot guard, same discipline as the LSH bucket
@@ -163,9 +174,10 @@ object Similarity {
     * unbounded side). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       centroidStep: Int = 64, nProbe: Int = 4, maxList: Int = 100000): DataFrame = {
+    val step = if (centroidStep > 0) centroidStep else autoStep(corpus.count())
     val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
-    val cents = c.where(col("vec_id") % centroidStep === 0)
+    val cents = c.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
     def nearest(side: DataFrame, idCol: String, embCol: String, nrmCol: String,

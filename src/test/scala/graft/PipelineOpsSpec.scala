@@ -160,6 +160,14 @@ class PipelineOpsSpec extends SparkSpecBase {
     val cand = Similarity.ivfTopK(rows, queries, 1000, centroidStep = 20, nProbe = 4)
       .groupBy("q_id").count().select(max("count")).head().getLong(0)
     assert(cand < 320 * 3 / 4, s"worst-case candidates $cand of 320")
+    // adaptive sizing (centroidStep <= 0): step ≈ √n keeps the pivot
+    // broadcast O(√n) while recall holds on the same clustered corpus
+    assert(Similarity.autoStep(320) == 18)
+    assert(Similarity.autoStep(1000000000L) == 31623) // 10⁹ → √n pivots
+    val auto = Similarity.ivfTopK(rows, queries, 1, centroidStep = 0, nProbe = 4)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    val autoRecall = exact.count { case (q, v) => auto.get(q).contains(v) }.toDouble / exact.size
+    assert(autoRecall >= 0.8, s"auto-step recall=$autoRecall")
   }
 
   test("cosine self-join near-dups") {
