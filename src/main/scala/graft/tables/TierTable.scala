@@ -372,6 +372,54 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     victims.size
   }
 
+  /** Snapshot expiration (Iceberg `expire_snapshots` semantics) — the
+    * maintenance op copy-on-write REQUIRES at scale: every MERGE
+    * rewrites its touched partitions into a new dir and the superseded
+    * files stay on disk, referenced only by older snapshots, so
+    * without expiration storage grows with every commit forever
+    * ([[vacuum]] reclaims only never-committed orphans).
+    *
+    * Expiration point: the newest FULL-snapshot version `f` such that
+    * at least `keepLast` versions remain at or above it. Manifests
+    * below `f` are deleted, then data dirs referenced by NO surviving
+    * manifest are deleted. Anchoring on a full snapshot means no
+    * surviving delta chain can walk below `f` (resolution stops at the
+    * first full manifest), so NO metadata is ever rewritten — and the
+    * `compactEvery` cadence bounds the lag between the requested and
+    * actual expiration point. Readers of surviving versions are
+    * unaffected; time travel to expired versions is gone (same
+    * contract as Iceberg). Like [[vacuum]], not safe concurrent with
+    * an in-flight writer (its pre-commit nonce'd dir is unreferenced).
+    * Runs in O(versions + data dirs) driver-side metadata work, no
+    * Spark job.
+    *
+    * Returns (expired manifest count, deleted data dir count). */
+  def expireSnapshots(keepLast: Int = 2): (Int, Int) = {
+    val head = currentVersion
+    val cutoff = head - math.max(keepLast, 1) + 1
+    val f = (math.min(cutoff, head) to 0 by -1).find { v =>
+      val p = metaDir.resolve(s"v$v.json")
+      Files.exists(p) && manifestAt(v).full
+    }
+    f match {
+      case None => (0, 0) // nothing old enough behind a full snapshot
+      case Some(anchor) =>
+        val keepDirs = (anchor to head).flatMap { v =>
+          val p = metaDir.resolve(s"v$v.json")
+          if (Files.exists(p))
+            manifestAt(v).entries.map(_.dir.split('/').take(2).mkString("/"))
+          else Nil
+        }.toSet
+        val expired = (0 until anchor)
+          .map(v => metaDir.resolve(s"v$v.json")).filter(Files.exists(_))
+        expired.foreach(Files.delete(_))
+        val victims = listDir(dataDir)
+          .filter(p => !keepDirs.contains(s"data/${p.getFileName}"))
+        victims.foreach(deleteRecursively)
+        (expired.size, victims.size)
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)

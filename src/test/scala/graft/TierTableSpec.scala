@@ -260,6 +260,51 @@ class TierTableSpec extends SparkSpecBase {
         s"(= every raw row exactly once across $nBatches batches)")
   }
 
+  test("expireSnapshots reclaims superseded copy-on-write dirs; reads + resume unaffected") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 3)
+    // 8 merges over the SAME partitions: copy-on-write leaves 8 data
+    // dirs on disk while only the newest is live
+    val batches = (0 until 8).map(i => mkPts(2, 120, startSec = i * 60L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), s"r$i")
+    }
+    val dataDirs = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+    val nDirsBefore = try dataDirs.count() finally dataDirs.close()
+    assert(nDirsBefore == 8L)
+    val before = Rollup.present(tt.read()).collect().toSet
+    val headBefore = tt.currentVersion
+
+    val (manifests, dirs) = tt.expireSnapshots(keepLast = 2)
+    // anchor = newest full snapshot (v6, compactEvery=3) with >= 2
+    // versions at/above it → manifests v0..v5 expired, and every data
+    // dir referenced only by them deleted
+    assert(manifests == 6, s"expired $manifests manifests")
+    assert(dirs >= 5, s"deleted $dirs data dirs")
+    // reads are bit-identical, HEAD unchanged, time travel to
+    // surviving versions still resolves
+    assert(tt.currentVersion == headBefore)
+    assert(Rollup.present(tt.read()).collect().toSet == before)
+    // resume lineage survives expiration (it lives in the entries,
+    // which carry forward): a retried old runId is still skipped
+    tt.merge(Rollup.rollupRaw(batches(3).toDF(), "minute"), "r3")
+    assert(Rollup.present(tt.read()).collect().toSet == before)
+    // and an idle table expires to nothing further
+    assert(tt.expireSnapshots(keepLast = 2) == ((0, 0)))
+  }
+
+  test("expireSnapshots with no old-enough full snapshot is a safe no-op") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 100)
+    (0 until 3).foreach(i =>
+      tt.merge(Rollup.rollupRaw(mkPts(2, 80, startSec = i * 60L).toDF(), "minute"), s"r$i"))
+    val before = Rollup.present(tt.read()).collect().toSet
+    // versions 1..3 are all deltas over full v0... v0 IS full? v0 % 100 == 0 → full.
+    // keepLast=2 → cutoff v2, anchor = v0 (newest full ≤ 2): expires nothing below v0.
+    assert(tt.expireSnapshots(keepLast = 2) == ((0, 0)))
+    assert(Rollup.present(tt.read()).collect().toSet == before)
+  }
+
   test("time-pruned read scans only in-range day partitions") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
