@@ -1,17 +1,19 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.functions.KllAgg
+import graft.functions.{FreqAgg, KllAgg}
 import Q._
 
 /** Codec + sketch queries. q_segment_roundtrip proves the Gorilla/DoD
   * encode→decode path is the identity through a full Spark plan by
   * rolling up DECODED segments and comparing against the DuckDB
-  * rollup of the RAW table. KLL queries have no exact SQL oracle
-  * (sketches are approximate) → rows-only driver check + ScalaTest
-  * accuracy bounds. */
+  * rollup of the RAW table. Sketch queries (KLL quantiles,
+  * frequent-items) are certified in their EXACT regimes — order
+  * statistics while n ≤ k, true counts while distinct ≤ 0.75·map —
+  * with approximate-regime error bounds pinned in ScalaTest. */
 object CodecQueries extends QuerySet {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -45,6 +47,40 @@ object CodecQueries extends QuerySet {
         .select(col("key"), KllAgg.kll_n(col("sk")).as("n"),
           KllAgg.kll_quantile(col("sk"), 0.5).as("p50"))
         .orderBy("key")),
+    // Frequent-items (heavy-hitter) sketch, certified in its EXACT
+    // regime: 1500 distinct conv_ids per role ≤ 0.75·4096, so the
+    // Misra–Gries map never purges and every estimate IS the true
+    // count — a plain GROUP BY count oracle replays the whole
+    // pipeline. Approx-regime bounds stay in SegmentsSpec.
+    "q_freq_topk" -> ((s, dir) => {
+      val t = graft.Tables.transcripts(s, dir)
+      val sk = t.groupBy(col("role"))
+        .agg(FreqAgg.freq_sketch(col("conv_id"), 4096).as("sk"))
+      val items = sk.select(col("role"), explode(FreqAgg.freq_items(col("sk"))).as("fi"))
+        .select(col("role"), col("fi.item").as("conv_id"), col("fi.est").as("turns"))
+      val w = Window.partitionBy(col("role")).orderBy(col("turns").desc, col("conv_id"))
+      items.withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 5)
+        .select(col("role"), col("rank"), col("conv_id"), col("turns"))
+        .orderBy("role", "rank")
+    }),
+    "q_freq_cascade" -> ((s, dir) => {
+      // sketch per (role, day), merged up to role — the tier path;
+      // merges of unpurged sketches stay exact, so the same count
+      // oracle certifies freq_merge end-to-end
+      val t = graft.Tables.transcripts(s, dir)
+      val sk = t.groupBy(col("role"), date_trunc("day", col("ts")).as("d"))
+        .agg(FreqAgg.freq_sketch(col("conv_id"), 4096).as("sk"))
+        .groupBy(col("role"))
+        .agg(FreqAgg.freq_merge(col("sk"), 4096).as("sk"))
+      val items = sk.select(col("role"), explode(FreqAgg.freq_items(col("sk"))).as("fi"))
+        .select(col("role"), col("fi.item").as("conv_id"), col("fi.est").as("turns"))
+      val w = Window.partitionBy(col("role")).orderBy(col("turns").desc, col("conv_id"))
+      items.withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 5)
+        .select(col("role"), col("rank"), col("conv_id"), col("turns"))
+        .orderBy("role", "rank")
+    }),
   )
 
   private val hourlyRollupSql: String =
@@ -103,5 +139,19 @@ object CodecQueries extends QuerySet {
          |SELECT key, MAX(nn) AS n,
          |       MAX(CASE WHEN rn = CAST(ceil(0.5 * nn) AS BIGINT) THEN v END) AS p50
          |FROM o GROUP BY key ORDER BY key""".stripMargin,
+    "q_freq_topk" -> freqTopkSql,
+    "q_freq_cascade" -> freqTopkSql,
   )
+
+  // exact-regime frequent-items oracle: per role, top-5 conv_ids by
+  // true turn count, ties broken by conv_id (deterministic in both
+  // engines); count(*) is BIGINT in DuckDB (no HUGEINT cast needed)
+  private lazy val freqTopkSql: String =
+    s"""${graft.Oracle.transcriptsCte},
+       |c AS (SELECT role, conv_id, count(*) AS turns FROM transcripts GROUP BY 1, 2),
+       |r AS (SELECT role, conv_id, turns,
+       |        row_number() OVER (PARTITION BY role ORDER BY turns DESC, conv_id) AS rank
+       |      FROM c)
+       |SELECT role, CAST(rank AS INT) AS rank, conv_id, CAST(turns AS BIGINT) AS turns
+       |FROM r WHERE rank <= 5 ORDER BY role, rank""".stripMargin
 }

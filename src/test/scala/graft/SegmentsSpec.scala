@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.model.Point
 import graft.operators._
-import graft.functions.KllAgg
+import graft.functions.{FreqAgg, KllAgg}
 import graft.local.LocalOracle
 
 /** Segment encode/decode round trip through the Spark plan, and KLL
@@ -47,6 +47,35 @@ class SegmentsSpec extends SparkSpecBase {
     val q = big.agg(KllAgg.kll_sketch(col("v")).as("sk"))
       .select(KllAgg.kll_quantile(col("sk"), 0.9).as("p90")).collect().head.getDouble(0)
     assert(math.abs(q - 45000.0) / 50000.0 < 0.02, s"p90=$q")
+  }
+
+  test("frequent-items sketch: exact below purge threshold, bounded error above, cascade merge") {
+    // EXACT regime: 40 distinct items <= 0.75 * 64 → every estimate is
+    // the true count with lb == ub (the oracle-certifiable regime)
+    val pts = (0 until 4000).map(i => (s"item${i % 40}", i % 7)).toDF("item", "g")
+    val exact = pts.groupBy("item").count().as[(String, Long)].collect().toMap
+    val got = pts.agg(FreqAgg.freq_sketch(col("item"), 64).as("sk"))
+      .select(explode(FreqAgg.freq_items(col("sk"))).as("fi"))
+      .select(col("fi.item"), col("fi.est"), col("fi.lb"), col("fi.ub"))
+      .collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      assert(r.getAs[Long]("est") == exact(r.getAs[String]("item")))
+      assert(r.getAs[Long]("lb") == r.getAs[Long]("ub"))
+    }
+    // APPROX regime: 4000 distinct in a 64-slot sketch — a planted
+    // heavy hitter survives with error <= the published a-priori bound
+    val skewed = ((0 until 2000).map(i => s"rare$i") ++ Seq.fill(500)("HOT"))
+    val sk2 = skewed.toDF("item").agg(FreqAgg.freq_sketch(col("item"), 64).as("sk"))
+    val hot = sk2.select(FreqAgg.freq_estimate(col("sk"), lit("HOT")).as("e"))
+      .head().getAs[Long]("e")
+    assert(hot >= 500 && hot <= 500 + (2500 * 3.5 / 64).toLong, s"HOT=$hot")
+    // CASCADE: per-group sketches merged via freq_merge == direct (exact regime)
+    val merged = pts.groupBy("g").agg(FreqAgg.freq_sketch(col("item"), 64).as("sk"))
+      .agg(FreqAgg.freq_merge(col("sk"), 64).as("sk"))
+      .select(explode(FreqAgg.freq_items(col("sk"))).as("fi"))
+      .select(col("fi.item"), col("fi.est")).as[(String, Long)].collect().toMap
+    assert(merged == exact)
   }
 
   test("KLL merge law: sketch(a++b) ≈ merge(sketch(a), sketch(b)); cascade via kll_merge") {
