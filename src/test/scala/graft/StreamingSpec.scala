@@ -44,6 +44,41 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("late out-of-order events merge exactly into already-committed tier windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tierRoot = Files.createTempDirectory("graft_stream_late").toString
+    val ckpt = Files.createTempDirectory("graft_stream_late_ck").toString
+
+    val pts = (0 until 2400).map { i =>
+      Point(s"k${i % 3}", t(i * 41), ((i * 13) % 400) / 8.0)
+    }
+    // adversarial arrival order: the NEWER half arrives first and its
+    // minute/hour/day windows are committed; then the older half
+    // arrives (reversed, so within-batch order is wrong too) — every
+    // one of its rows is "late" relative to windows already in the
+    // tiers. The MERGE cascade has no watermark to drop them: late
+    // partials combine into the committed partitions exactly
+    // (mergeable stats), so the result must equal the one-shot batch.
+    val (oldHalf, newHalf) = pts.splitAt(1200)
+    val src = MemoryStream[Point]
+    val q = StreamingRollup.cascadeWriter(src.toDF(), tierRoot, "lateRun")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .option("checkpointLocation", ckpt)
+      .start()
+    src.addData(newHalf); q.processAllAvailable()
+    src.addData(oldHalf.reverse); q.processAllAvailable()
+    q.stop()
+
+    val batch = pts.toDF()
+    for ((tier, unit) <- Seq(("tier_1m", "minute"), ("tier_1h", "hour"), ("tier_1d", "day"))) {
+      val got = Rollup.present(new TierTable(spark, s"$tierRoot/$tier", 8).read())
+      val want = Rollup.present(Rollup.rollupRaw(batch, unit))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"tier $unit diverged under late arrival")
+    }
+  }
+
   test("stateful streaming latency equals batch lag() across micro-batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingLatency
