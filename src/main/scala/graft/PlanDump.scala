@@ -88,6 +88,9 @@ object PlanDump {
       ("full-spectrum FFT (wide-form corner turn: ONE shuffle on key, then per-record O(n log n))",
         "collect_list agg → fft_coeffs expression → posexplode; no per-bin rescans",
         SeriesOps.fftSpectrum(Q.eventPoints(spark, sf))),
+      ("IVF ANN top-k: bounded pivot broadcast, scan-local assignment, id-only candidate flow",
+        "pivot count ≈ √n (adaptive), inverted lists occupancy-capped; the map-side WindowGroupLimit below the argmax Exchange collapses the n·C assignment scores to ONE row per vector before any shuffle (all of a vector's pivot scores are co-located by the broadcast join); vectors re-attach via AQE-chosen join",
+        Similarity.ivfTopK(e, e.where(col("vec_id") < 3), 5, centroidStep = 16, nProbe = 2)),
       ("cosine near-dup self-join WITHOUT forced broadcasts (candidate joins left to AQE)",
         "ids-only candidate set; embedding vectors join on ids, strategy chosen at runtime",
         Similarity.cosineSelfJoin(e, 0.9, bits = 6, tables = 4)))
