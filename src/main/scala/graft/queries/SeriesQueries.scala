@@ -28,6 +28,23 @@ object SeriesQueries extends QuerySet {
         "2024-01-10 00:00:00", "2024-01-20 00:00:00").select("key", "ts", "v"))),
     "q_subsample" -> ((s, dir) =>
       ordered(SeriesOps.subsample(eventPoints(s, dir), 7).select("key", "ts", "pos", "v"))),
+    // Data.astype — Spark double→int cast truncates toward zero; the
+    // oracle mirrors with trunc() (DuckDB's bare CAST rounds)
+    "q_astype" -> ((s, dir) =>
+      ordered(SeriesAlgebra.astype(eventPoints(s, dir), "int").select("key", "ts", "v"))),
+    // series.fromlist/fromarray: LOCAL values → Series → operator —
+    // certifies the local-construction path end-to-end against a pure
+    // VALUES oracle. Timestamps built from epoch millis so the row set
+    // is independent of the JVM default timezone.
+    "q_fromseq" -> ((s, _) => {
+      val rows = (0 until 24).map { i =>
+        (s"k${i % 3}", new java.sql.Timestamp((1704067200L + 60L * i) * 1000L), i * 0.5)
+      }
+      ordered(SeriesOps.center(
+          graft.api.Series.fromSeq(s, rows).df
+            .withColumn("ts", col("ts").cast("timestamp_ntz")))
+        .select("key", "ts", "v"))
+    }),
     "q_downsample" -> ((s, dir) =>
       ordered(SeriesOps.downsample(eventPoints(s, dir), 12))),
     "q_mean_by_panel" -> ((s, dir) =>
@@ -133,6 +150,18 @@ object SeriesQueries extends QuerySet {
          |ORDER BY key, ts, v""".stripMargin,
     "q_subsample" ->
       s"$ptsCte SELECT key, ts, pos, v FROM pts WHERE pos % 7 = 0 ORDER BY key, ts, pos, v",
+    "q_astype" ->
+      s"$ptsCte SELECT key, ts, CAST(trunc(v) AS INT) AS v FROM pts ORDER BY key, ts, v",
+    "q_fromseq" -> {
+      val vals = (0 until 24).map { i =>
+        f"('k${i % 3}', TIMESTAMP '2024-01-01 00:$i%02d:00', CAST(${i * 0.5} AS DOUBLE))"
+      }.mkString(",\n        ")
+      s"""WITH pts AS (SELECT * FROM (VALUES
+         |        $vals) AS t(key, ts, v)),
+         |$keyStatsCte
+         |SELECT p.key, p.ts, (p.v - $kMeanSql) AS v FROM pts p JOIN ks USING (key)
+         |ORDER BY key, ts, v""".stripMargin
+    },
     "q_downsample" ->
       s"""$ptsCte SELECT key, CAST(floor(pos / 12) AS BIGINT) AS bin, COUNT(*) AS bin_n,
          |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
