@@ -372,6 +372,31 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     victims.size
   }
 
+  /** Retention enforcement: drop every partition with pd < cutoffDay
+    * from the live set — the "keep 1m for 30 days, 1h for a year"
+    * policy a retention-tier engine exists for. METADATA-ONLY: one
+    * FULL manifest of the retained entries (carried forward by
+    * reference, no data rewriting); the dropped partitions' files
+    * stay on disk, still readable via time travel to older versions,
+    * until [[expireSnapshots]] reclaims them — exactly Iceberg's
+    * drop-partition + expire composition. Commit I/O is O(live
+    * partitions), the same as any full-snapshot commit.
+    *
+    * Note: dropping a partition drops its runId lineage with it — a
+    * crashed old batch replayed AFTER retention passed its days will
+    * re-insert them (the same contract as a replayed write after an
+    * Iceberg DELETE). Returns the dropped partition count. */
+  def dropPartitionsBefore(cutoffDay: String): Int = {
+    val prev = currentVersion
+    if (prev < 0) return 0
+    val resolved = resolvedAt(prev)
+    val (dropped, kept) = resolved.partition(_.pd < cutoffDay)
+    if (dropped.isEmpty) return 0
+    commit(Manifest(prev + 1, prev, full = true,
+      kept.map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))))
+    dropped.size
+  }
+
   /** Snapshot expiration (Iceberg `expire_snapshots` semantics) — the
     * maintenance op copy-on-write REQUIRES at scale: every MERGE
     * rewrites its touched partitions into a new dir and the superseded

@@ -293,6 +293,40 @@ class TierTableSpec extends SparkSpecBase {
     assert(tt.expireSnapshots(keepLast = 2) == ((0, 0)))
   }
 
+  test("retention drop is metadata-only; expiration then reclaims the dropped partitions' files") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 100)
+    // 6 disjoint day batches (one partitioned day each)
+    val batches = (0 until 6).map(d => mkPts(2, 100, startSec = d * 86400L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), s"r$i")
+    }
+    val allDays = tt.resolvedEntries.map(_.pd).distinct.sorted
+    assert(allDays.size == 6)
+    val cutoff = allDays(3)
+    val before = Rollup.present(tt.read()).collect().toSet
+
+    val dropped = tt.dropPartitionsBefore(cutoff)
+    assert(dropped > 0)
+    // live view = rollup of only the retained days, and the drop did
+    // NOT touch any data file (metadata-only): dir count unchanged
+    val want = Rollup.present(Rollup.rollupRaw(
+      batches.drop(3).flatten.toDF(), "minute")).collect().toSet
+    assert(Rollup.present(tt.read()).collect().toSet == want)
+    val nd = { val s = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      try s.count() finally s.close() }
+    assert(nd == 6L)
+    // every live partition is at or after the cutoff
+    assert(tt.resolvedEntries.forall(_.pd >= cutoff))
+
+    // expiration anchored at the retention FULL manifest reclaims the
+    // dropped days' files; the live view is untouched
+    val (_, dirsReclaimed) = tt.expireSnapshots(keepLast = 1)
+    assert(dirsReclaimed == 3, s"reclaimed $dirsReclaimed dirs")
+    assert(Rollup.present(tt.read()).collect().toSet == want)
+    assert(before != want) // the drop really removed data from the live view
+  }
+
   test("expireSnapshots with no old-enough full snapshot is a safe no-op") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 100)
