@@ -131,6 +131,24 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
     runBatches(points, runId, batchLabels(points, batchUnit).take(maxBatches),
       batchUnit, sketched = false)
 
+  /** Per-tier retention policy, finest-keeps-least: drop 1m
+    * partitions older than `keep1mDays`, 1h older than `keep1hDays`;
+    * the 1d tier is kept forever (pass a cutoff of your own via
+    * `tier1d.dropPartitionsBefore` if needed). `asOfDay` is the
+    * policy's "today" (yyyy-MM-dd). Metadata-only; compose with
+    * [[expireAll]] to reclaim the dropped files. Returns dropped
+    * partition counts per tier. */
+  def applyRetention(asOfDay: String, keep1mDays: Int, keep1hDays: Int): (Int, Int) = {
+    val asOf = LocalDate.parse(asOfDay)
+    (tier1m.dropPartitionsBefore(asOf.minusDays(keep1mDays).toString),
+      tier1h.dropPartitionsBefore(asOf.minusDays(keep1hDays).toString))
+  }
+
+  /** Expire superseded snapshots on every tier (storage maintenance —
+    * run periodically, not per batch). */
+  def expireAll(keepLast: Int = 2): Unit =
+    Seq(tier1m, tier1h, tier1d).foreach(_.expireSnapshots(keepLast))
+
   private def runBatches(points: DataFrame, runId: String, labels: Seq[String],
       batchUnit: String, sketched: Boolean): Unit = {
     labels.foreach { label =>

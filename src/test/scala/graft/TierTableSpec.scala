@@ -327,6 +327,32 @@ class TierTableSpec extends SparkSpecBase {
     assert(before != want) // the drop really removed data from the live view
   }
 
+  test("job-level retention: fine tiers age out, the 1d tier keeps everything") {
+    val pts = (0 until 2500).map { i =>
+      Point(s"k${i % 3}", t(i * 311), ((i * 131) % 700) / 4.0)
+    }.toDF()
+    val job = new RollupJob(spark, tmp(), nBuckets = 4)
+    job.run(pts, "jobR")
+    val days = job.tier1m.resolvedEntries.map(_.pd).distinct.sorted
+    assert(days.size >= 5)
+    // "today" = the last day; keep 1m for 2 days, 1h for 4
+    val (d1m, d1h) = job.applyRetention(days.last, keep1mDays = 2, keep1hDays = 4)
+    assert(d1m > 0 && d1h > 0 && d1m >= d1h)
+    assert(job.tier1m.resolvedEntries.map(_.pd).distinct.size < days.size)
+    // the 1d tier still reproduces the FULL day rollup
+    val got = Rollup.present(job.tier1d.read())
+    val want = Rollup.present(Rollup.rollupRaw(pts, "day"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // retained windows of the 1m tier still match the direct rollup
+    val keptDays = job.tier1m.resolvedEntries.map(_.pd).distinct.sorted
+    val got1m = Rollup.present(job.tier1m.read(keptDays.head, keptDays.last))
+    val want1m = Rollup.present(Rollup.rollupRaw(pts, "minute"))
+      .where(date_format(col("bucket"), "yyyy-MM-dd") >= keptDays.head)
+    assert(got1m.exceptAll(want1m).count() == 0 && want1m.exceptAll(got1m).count() == 0)
+    job.expireAll(keepLast = 1) // maintenance composes without error
+    assert(Rollup.present(job.tier1d.read()).exceptAll(want).count() == 0)
+  }
+
   test("expireSnapshots with no old-enough full snapshot is a safe no-op") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 100)
