@@ -189,9 +189,18 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w)).where(col("rn") <= keep)
         .select(col(idCol), col("cent_id"))
     }
-    val wList = Window.partitionBy(col("cent_id"))
+    // Hot-list guard: unlike the LSH bucket caps (where a dropped
+    // (table, bucket) is backed up by the other hash tables), a
+    // vector's single argmax assignment is its ONLY path into the
+    // index — dropping a whole over-full list would silently zero
+    // recall for exactly the dense clusters ANN exists for. So the cap
+    // is a RANK cap: an over-full list keeps its first `maxList`
+    // members (deterministic vec_id order, oracle-replayable), bounds
+    // per-query candidate volume at maxList, and degrades recall
+    // gracefully for the truncated tail instead of totally.
+    val wList = Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))
     val assign = nearest(c, "vec_id", "emb", "nrm", keep = 1)
-      .withColumn("occ", count(lit(1)).over(wList))
+      .withColumn("occ", row_number().over(wList))
       .where(col("occ") <= maxList)
       .drop("occ")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

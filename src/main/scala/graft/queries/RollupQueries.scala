@@ -131,11 +131,23 @@ object RollupQueries extends QuerySet {
       val base = freshDir(s"graft_qsl_${math.abs(dir.hashCode).toString}")
       val tr = graft.Tables.transcripts(s, dir)
         .select(col("conv_id"), col("turn_idx"), col("ts").cast("timestamp").as("ts"))
-      // sequential chunk writes: file mtime order == turn order
+      // FileStreamSource orders files by modification time (ms
+      // granularity, no write-order tiebreak) — fast sequential local
+      // writes can land in the same millisecond, so each chunk's files
+      // get an EXPLICIT increasing mtime (60 s apart) to pin the
+      // replay order the operator's in-order contract requires
+      var stamped = Set.empty[String]
       Seq(col("turn_idx") < 4,
           col("turn_idx") >= 4 && col("turn_idx") < 9,
           col("turn_idx") >= 9)
-        .foreach(p => tr.where(p).coalesce(1).write.mode("append").parquet(s"$base/in"))
+        .zipWithIndex.foreach { case (p, i) =>
+          tr.where(p).coalesce(1).write.mode("append").parquet(s"$base/in")
+          val files = Option(new java.io.File(s"$base/in").listFiles()).getOrElse(Array())
+            .filter(_.getName.endsWith(".parquet"))
+          files.filterNot(f => stamped(f.getName)).foreach(
+            _.setLastModified(1700000000000L + i * 60000L))
+          stamped ++= files.map(_.getName)
+        }
       val stream = s.readStream.schema(tr.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
         .as[graft.streaming.StreamingLatency.TurnEvent]

@@ -92,14 +92,35 @@ final class RollupJob(spark: SparkSession, root: String, nBuckets: Int = 16) {
 
   /** Metadata-driven batch enumeration: ONE min/max(ts) aggregate
     * (column-pruned, no shuffle, footer-served under parquet aggregate
-    * pushdown) instead of a full distinct scan of raw. */
-  def batchLabels(points: DataFrame, batchUnit: String = "day"): Seq[String] = {
+    * pushdown) instead of a full distinct scan of raw.
+    *
+    * Outlier guard: calendar enumeration between min and max is blind
+    * to gaps — ONE corrupt row at 1970 (or 2100) would stretch the
+    * calendar to tens of thousands of labels, and every empty label
+    * still pays a pruned scan plus merge bookkeeping. When the
+    * calendar span exceeds `maxCalendarBatches`, fall back to the
+    * exact distinct enumeration: one extra column-pruned pass over
+    * raw is far cheaper than thousands of no-op batch jobs, and the
+    * fallback only triggers on pathological spans. */
+  def batchLabels(points: DataFrame, batchUnit: String = "day",
+      maxCalendarBatches: Int = 500): Seq[String] = {
     val p = pattern(batchUnit)
     val r = points.agg(
       date_format(min(col("ts")), p).as("lo"),
       date_format(max(col("ts")), p).as("hi")).head()
     if (r.isNullAt(0)) Nil
-    else enumerate(r.getString(0), r.getString(1), batchUnit)
+    else {
+      val (lo, hi) = (r.getString(0), r.getString(1))
+      val span: Long = batchUnit match {
+        case "day" => java.time.temporal.ChronoUnit.DAYS.between(
+          LocalDate.parse(lo), LocalDate.parse(hi)) + 1
+        case "month" => java.time.temporal.ChronoUnit.MONTHS.between(
+          YearMonth.parse(lo).atDay(1), YearMonth.parse(hi).atDay(1)) + 1
+        case _ => hi.toInt - lo.toInt + 1
+      }
+      if (span <= maxCalendarBatches) enumerate(lo, hi, batchUnit)
+      else distinctDays(points, batchUnit)
+    }
   }
 
   /** Exact distinct batch labels — a full scan + shuffle; kept for

@@ -134,6 +134,17 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       PartEntry(m.group(1).toInt, m.group(2), m.group(3), m.group(4).toLong,
         m.group(5).toLong, ids)
     }.toSeq
+    // STRICT parse: every entry object must round-trip. A best-effort
+    // regex that silently skips non-matching entries would make a
+    // corrupted (or older-format) manifest read as empty/partial —
+    // read() shrinks, the next merge commits over the "missing"
+    // partitions, and vacuum() deletes their files as unreferenced.
+    // Fail loudly instead.
+    val claimed = "\\{\"pb\":".r.findAllMatchIn(s).size
+    if (claimed != entries.size)
+      throw new IllegalStateException(
+        s"manifest parse mismatch: $claimed entry objects, ${entries.size} parsed — " +
+          "corrupted or incompatible manifest; refusing a partial read")
     Manifest(version, parent, full, entries)
   }
 

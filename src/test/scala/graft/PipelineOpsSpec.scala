@@ -168,6 +168,14 @@ class PipelineOpsSpec extends SparkSpecBase {
       .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
     val autoRecall = exact.count { case (q, v) => auto.get(q).contains(v) }.toDouble / exact.size
     assert(autoRecall >= 0.8, s"auto-step recall=$autoRecall")
+    // hot-list cap degrades GRACEFULLY: one pivot holds the whole
+    // corpus, maxList=3 → each query still sees the list's first 3
+    // members (bounded, non-empty candidates), never a zeroed index
+    val capped = Similarity.ivfTopK(rows, queries, 10,
+        centroidStep = 320, nProbe = 1, maxList = 3)
+      .groupBy("q_id").count().as[(Long, Long)].collect().toMap
+    assert(capped.nonEmpty && capped.values.forall(n => n >= 2 && n <= 3),
+      s"capped candidate counts: $capped")
   }
 
   test("cosine self-join near-dups") {

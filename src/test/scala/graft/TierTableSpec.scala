@@ -327,6 +327,21 @@ class TierTableSpec extends SparkSpecBase {
     assert(before != want) // the drop really removed data from the live view
   }
 
+  test("batchLabels falls back to exact enumeration when an outlier stretches the calendar") {
+    val job = new RollupJob(spark, tmp(), nBuckets = 4)
+    val normal = (0 until 500).map(i => Point(s"k${i % 2}", t(i * 311), i.toDouble))
+    // well-behaved span: calendar enumeration, contiguous labels
+    val cal = job.batchLabels(normal.toDF())
+    assert(cal.size >= 2 && cal == cal.sorted)
+    // one corrupt 1970 row would stretch the calendar to ~19k day
+    // labels; the guard must switch to exact distinct enumeration —
+    // the real days plus the outlier's own day, nothing in between
+    val poisoned = normal :+ Point("k0", new java.sql.Timestamp(0L), 1.0)
+    val got = job.batchLabels(poisoned.toDF())
+    assert(got.size == cal.size + 1, s"got ${got.size} labels, want ${cal.size + 1}")
+    assert(got.head == "1970-01-01" && got.tail == cal)
+  }
+
   test("job-level retention: fine tiers age out, the 1d tier keeps everything") {
     val pts = (0 until 2500).map { i =>
       Point(s"k${i % 3}", t(i * 311), ((i * 131) % 700) / 4.0)
