@@ -172,6 +172,25 @@ class TierTableSpec extends SparkSpecBase {
     assert(Rollup.present(tt.read()).collect().toSet == v1)
   }
 
+  test("manifest JSON round-trips randomized adversarial runIds (strict parser)") {
+    // the parser now REFUSES partial reads, so any escaping gap would
+    // fail loudly here: ids drawn from the full hazard alphabet
+    // (quotes, backslashes, brackets, braces, commas, colons, control
+    // chars, non-ASCII) must all survive commit → strict parse →
+    // lineage resolution
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 2)
+    val rng = new scala.util.Random(7)
+    val nasty = "\"\\]}{[,:\n\t\r\u0000\u001f\u00fc\u4e2d x"
+    val ids = (0 until 12).map(i =>
+      (0 until 8).map(_ => nasty(rng.nextInt(nasty.length))).mkString + s"#$i")
+    val partials = Rollup.rollupRaw(mkPts(1, 40).toDF(), "minute")
+    ids.foreach(id => tt.merge(partials, id))
+    val lineage = tt.resolvedEntries.flatMap(_.runIds)
+    ids.foreach(id => assert(lineage.contains(id),
+      s"lost runId ${id.map(_.toInt.toHexString).mkString(" ")}"))
+  }
+
   test("empty merge publishes no new version") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
