@@ -383,6 +383,27 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     victims.size
   }
 
+  /** [[merge]] with optimistic-concurrency retry: on a commit
+    * conflict (another writer claimed the version first), re-run the
+    * merge against the NEW snapshot — merge() re-resolves HEAD on
+    * every call, and the loser's attempt only ever wrote to its own
+    * nonce'd dir, so a retry is simply calling merge again (the
+    * orphaned attempt is reclaimable via [[vacuum]]). Lineage makes
+    * the retry exact: partitions the conflicting winner already
+    * committed for THIS runId are skipped. */
+  def mergeRetrying(updates: DataFrame, runId: String, maxAttempts: Int = 5): Manifest = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return merge(updates, runId)
+      catch {
+        case e: IllegalStateException if e.getMessage.startsWith("commit conflict") =>
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** Retention enforcement: drop every partition with pd < cutoffDay
     * from the live set — the "keep 1m for 30 days, 1h for a year"
     * policy a retention-tier engine exists for. METADATA-ONLY: one

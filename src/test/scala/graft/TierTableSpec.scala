@@ -135,6 +135,29 @@ class TierTableSpec extends SparkSpecBase {
     assert(after.exceptAll(want).count() == 0 && want.exceptAll(after).count() == 0)
   }
 
+  test("mergeRetrying wins after losing a race: both writers' rows land exactly once") {
+    val root = tmp()
+    var raced = false
+    val tt = new TierTable(spark, root, nBuckets = 4) {
+      override protected def beforeCommit(version: Int): Unit =
+        if (version == 0 && !raced) {
+          raced = true // a concurrent writer claims v0 first
+          new TierTable(spark, root, nBuckets = 4)
+            .merge(Rollup.rollupRaw(mkPts(2, 150, startSec = 50000).toDF(), "minute"), "winner")
+        }
+    }
+    // first attempt loses the CAS, the retry re-resolves the new
+    // snapshot and commits v1
+    tt.mergeRetrying(Rollup.rollupRaw(mkPts(2, 100).toDF(), "minute"), "retrier")
+    val tt2 = new TierTable(spark, root, nBuckets = 4)
+    assert(tt2.currentVersion == 1)
+    val want = Rollup.present(Rollup.rollupRaw(
+      (mkPts(2, 100) ++ mkPts(2, 150, startSec = 50000)).toDF(), "minute"))
+    val got = Rollup.present(tt2.read())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(tt2.resolvedEntries.exists(_.runIds.contains("retrier")))
+  }
+
   test("a writer crashing before the atomic link does not wedge the table") {
     val root = tmp()
     var crash = true
