@@ -94,7 +94,9 @@ object KllAgg {
     override def prettyName: String = "kll_merge"
   }
 
-  /** kll_quantile(sketch_binary, q): quantile at normalized rank q. */
+  /** kll_quantile(sketch_binary, q): quantile at normalized rank q.
+    * `q` must be DOUBLE — the SQL registration wraps it in a Cast
+    * (a bare `0.5` literal parses as DECIMAL(1,1)). */
   case class KllQuantile(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
