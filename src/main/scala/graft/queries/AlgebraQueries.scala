@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators._
+import graft.functions.FreqAgg
 import Q._
 
 /** Element-wise Series algebra + generic grouped aggregation +
@@ -67,6 +69,29 @@ object AlgebraQueries extends QuerySet {
       ordered(SketchedRollup.present(d1).select(
         col("key"), col("bucket"), col("cnt"), col("kll_n"),
         round(col("p50"), 6).as("p50"), round(col("p90"), 6).as("p90")))
+    }),
+    // frequent-items carried through the tier cascade: per-conversation
+    // role-frequency sketches built at MINUTE grain, merged 1m→1h→1d,
+    // then the dominant role per (conversation, day). Exact regime at
+    // every stage (≤ 4 distinct roles ≪ 0.75·64), so the plain count
+    // oracle replays the whole cascade.
+    "q_tier_freq_cascade" -> ((s, dir) => {
+      val t = graft.Tables.transcripts(s, dir)
+      val m1 = t.groupBy(col("conv_id").as("key"),
+          date_trunc("minute", col("ts")).as("bucket"))
+        .agg(FreqAgg.freq_sketch(col("role"), 64).as("fsk"))
+      val h1 = m1.groupBy(col("key"), date_trunc("hour", col("bucket")).as("bucket"))
+        .agg(FreqAgg.freq_merge(col("fsk"), 64).as("fsk"))
+      val d1 = h1.groupBy(col("key"), date_trunc("day", col("bucket")).as("bucket"))
+        .agg(FreqAgg.freq_merge(col("fsk"), 64).as("fsk"))
+      val items = d1.select(col("key"), col("bucket"),
+          explode(FreqAgg.freq_items(col("fsk"))).as("fi"))
+        .select(col("key"), col("bucket"), col("fi.item").as("role"), col("fi.est").as("n"))
+      val w = Window.partitionBy(col("key"), col("bucket"))
+        .orderBy(col("n").desc, col("role"))
+      items.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("key"), col("bucket"), col("role"), col("n"))
+        .orderBy("key", "bucket", "role", "n")
     }),
   )
 
@@ -139,5 +164,15 @@ object AlgebraQueries extends QuerySet {
          |       round(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END), 6) AS p90
          |FROM o GROUP BY key, bucket
          |ORDER BY key, bucket, cnt, kll_n, p50, p90""".stripMargin,
+    "q_tier_freq_cascade" ->
+      s"""${graft.Oracle.transcriptsCte},
+         |c AS (SELECT conv_id AS key, date_trunc('day', ts) AS bucket, role,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM transcripts GROUP BY 1, 2, 3),
+         |r AS (SELECT key, bucket, role, n,
+         |        row_number() OVER (PARTITION BY key, bucket ORDER BY n DESC, role) AS rk
+         |      FROM c)
+         |SELECT key, bucket, role, n FROM r WHERE rk = 1
+         |ORDER BY key, bucket, role, n""".stripMargin,
   )
 }

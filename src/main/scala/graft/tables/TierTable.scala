@@ -243,6 +243,18 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     else spark.read.parquet(keep.map(e => s"$root/${e.dir}"): _*)
   }
 
+  /** Time travel: snapshot read AS OF a committed version. Works for
+    * any version whose manifest chain survives (i.e. not below the
+    * last [[expireSnapshots]] anchor) — committed files are immutable,
+    * so the historical view is byte-stable. */
+  def readAt(version: Int): DataFrame = {
+    require(version >= 0 && Files.exists(metaDir.resolve(s"v$version.json")),
+      s"version $version of $root does not exist (expired or never committed)")
+    val es = resolvedAt(version)
+    if (es.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
+  }
+
   // ---- merge --------------------------------------------------------
 
   private def withPartCols(rollup: DataFrame): DataFrame =

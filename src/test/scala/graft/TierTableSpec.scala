@@ -195,6 +195,29 @@ class TierTableSpec extends SparkSpecBase {
     assert(Rollup.present(tt.read()).collect().toSet == v1)
   }
 
+  test("time travel: readAt reproduces each committed snapshot; expired versions refuse loudly") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 3)
+    val a = mkPts(2, 200)
+    val b = mkPts(2, 200, startSec = 200 * 157)
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "r0") // v0
+    val v0 = Rollup.present(tt.read()).collect().toSet
+    tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), "r1") // v1
+    val v1 = Rollup.present(tt.read()).collect().toSet
+    assert(v0 != v1)
+    // historical views are byte-stable after later commits
+    assert(Rollup.present(tt.readAt(0)).collect().toSet == v0)
+    assert(Rollup.present(tt.readAt(1)).collect().toSet == v1)
+    // after expiration, travel below the anchor refuses instead of
+    // returning a partial view
+    (2 until 8).foreach(i =>
+      tt.merge(Rollup.rollupRaw(mkPts(2, 50, startSec = i * 40000L).toDF(), "minute"), s"r$i"))
+    tt.expireSnapshots(keepLast = 2) // anchor = v6 (full, compactEvery=3)
+    intercept[IllegalArgumentException](tt.readAt(0))
+    assert(Rollup.present(tt.readAt(tt.currentVersion)).collect().toSet ==
+      Rollup.present(tt.read()).collect().toSet)
+  }
+
   test("manifest JSON round-trips randomized adversarial runIds (strict parser)") {
     // the parser now REFUSES partial reads, so any escaping gap would
     // fail loudly here: ids drawn from the full hazard alphabet
