@@ -213,7 +213,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     catch {
       case _: FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
+        throw new TierTable.CommitConflictException(
           s"commit conflict: version ${m.version} of $root already exists " +
             "(concurrent writer) — re-read the snapshot and retry the merge " +
             "(this writer's data dir is orphaned, reclaimable via vacuum())")
@@ -226,22 +226,19 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
 
   // ---- read ---------------------------------------------------------
 
+  private def readEntries(es: Seq[PartEntry]): DataFrame =
+    if (es.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
+
   /** Snapshot read: the file list comes from the resolved manifest
     * chain, never from directory listing — concurrent/crashed writers
     * are invisible. */
-  def read(): DataFrame = {
-    val es = resolvedEntries
-    if (es.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
-  }
+  def read(): DataFrame = readEntries(resolvedEntries)
 
   /** Time-pruned read: only partitions whose pd (day) falls in
     * [lo, hi] are scanned — manifest-level partition pruning. */
-  def read(loDay: String, hiDay: String): DataFrame = {
-    val keep = resolvedEntries.filter(e => e.pd >= loDay && e.pd <= hiDay)
-    if (keep.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(keep.map(e => s"$root/${e.dir}"): _*)
-  }
+  def read(loDay: String, hiDay: String): DataFrame =
+    readEntries(resolvedEntries.filter(e => e.pd >= loDay && e.pd <= hiDay))
 
   /** Time travel: snapshot read AS OF a committed version. Works for
     * any version whose manifest chain survives (i.e. not below the
@@ -250,9 +247,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   def readAt(version: Int): DataFrame = {
     require(version >= 0 && Files.exists(metaDir.resolve(s"v$version.json")),
       s"version $version of $root does not exist (expired or never committed)")
-    val es = resolvedAt(version)
-    if (es.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
+    readEntries(resolvedAt(version))
   }
 
   // ---- merge --------------------------------------------------------
@@ -409,8 +404,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       attempt += 1
       try return merge(updates, runId)
       catch {
-        case e: IllegalStateException if e.getMessage.startsWith("commit conflict") =>
-          if (attempt >= maxAttempts) throw e
+        case e: TierTable.CommitConflictException => if (attempt >= maxAttempts) throw e
       }
     }
     sys.error("unreachable")
@@ -506,4 +500,12 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       s.toDF("pb", "pd")
     }
   }
+}
+
+object TierTable {
+  /** Typed commit-conflict signal: a concurrent writer claimed the
+    * version first. Subclasses IllegalStateException so existing
+    * catch sites keep working; [[TierTable.mergeRetrying]] keys its
+    * retry decision on the TYPE, never on the message text. */
+  class CommitConflictException(msg: String) extends IllegalStateException(msg)
 }

@@ -28,22 +28,33 @@ done
 python3 - "$OUT" <<'EOF'
 import json, sys, statistics
 rows = [json.loads(l) for l in open(sys.argv[1])]
-by = {r["cores"]: r for r in rows}
+# GROUP per cores level (a dict comprehension would keep only the last
+# execution) — this file may be the concatenation of several protocol
+# executions, and every aggregate below must cover ALL of their runs.
+by = {}
+for r in rows:
+    by.setdefault(r["cores"], []).append(r)
 lo, hi = min(by), max(by)
-tl = statistics.median(by[lo]["totals_sec"]); th = statistics.median(by[hi]["totals_sec"])
-print(f"turns={by[lo]['turns']} t{lo}={tl:.2f}s t{hi}={th:.2f}s "
+TIERS = ["raw_to_1m", "1m_to_1h", "1h_to_1d"]
+def runs(c): return [run for r in by[c] for run in r["runs"]]
+tl = statistics.median([t for r in by[lo] for t in r["totals_sec"]])
+th = statistics.median([t for r in by[hi] for t in r["totals_sec"]])
+n_ex = len(by[lo])
+print(f"turns={by[lo][0]['turns']} executions={n_ex} "
+      f"t{lo}={tl:.2f}s t{hi}={th:.2f}s "
       f"speedup={tl/th:.2f}x efficiency={(tl/th)/(hi/lo):.3f}")
-for tier in ["raw_to_1m", "1m_to_1h", "1h_to_1d"]:
-    ml = statistics.median([r[tier]["sec"] for r in by[lo]["runs"]])
-    mh = statistics.median([r[tier]["sec"] for r in by[hi]["runs"]])
-    inr = by[lo]["runs"][0][tier]["in_rows"]
+for tier in TIERS:
+    ml = statistics.median([run[tier]["sec"] for run in runs(lo)])
+    mh = statistics.median([run[tier]["sec"] for run in runs(hi)])
+    inr = runs(lo)[0][tier]["in_rows"]
     print(f"  {tier}: in={inr} {lo}c={ml:.2f}s ({inr/ml/1e6:.1f}M/s) "
           f"{hi}c={mh:.2f}s ({inr/mh/1e6:.1f}M/s) eff={(ml/mh)/(hi/lo):.2f}")
 # min-combined estimator: interference on a shared box strictly ADDS
-# time, so per-tier minima across runs reject it; on noisy days this
-# is the stable signal (BENCH.md round-3 note). Pass multiple
-# executions' jsonl concatenated for the cross-execution version.
-nl = sum(min(r[t]["sec"] for r in by[lo]["runs"]) for t in ["raw_to_1m", "1m_to_1h", "1h_to_1d"])
-nh = sum(min(r[t]["sec"] for r in by[hi]["runs"]) for t in ["raw_to_1m", "1m_to_1h", "1h_to_1d"])
-print(f"  min-combined: t{lo}={nl:.2f}s t{hi}={nh:.2f}s efficiency={(nl/nh)/(hi/lo):.3f}")
+# time, so per-tier minima across ALL runs (of all executions in the
+# file) reject it; on noisy days this is the stable signal
+# (BENCH.md round-3 note).
+nl = sum(min(run[t]["sec"] for run in runs(lo)) for t in TIERS)
+nh = sum(min(run[t]["sec"] for run in runs(hi)) for t in TIERS)
+print(f"  min-combined ({len(runs(lo))} runs/level): "
+      f"t{lo}={nl:.2f}s t{hi}={nh:.2f}s efficiency={(nl/nh)/(hi/lo):.3f}")
 EOF
