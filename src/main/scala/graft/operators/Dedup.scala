@@ -265,4 +265,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         least(col("doc_a"), col("doc_b")).as("canonical_id"))
   }
+
+  /** Transitive dedup clusters: connected components over the
+    * near-dup pair graph, labeling every member with the MINIMUM
+    * doc_id reachable — the step that turns pairwise matches into
+    * keep-one-per-cluster decisions (per-pair `least(a, b)` is wrong
+    * whenever a~b and b~c but a is not directly paired with c).
+    *
+    * Iterative min-label propagation (Pregel-style in plain
+    * DataFrames): each round every vertex takes the min of its own
+    * label and its neighbors'; converges in O(cluster diameter)
+    * rounds — near-dup clusters have tiny diameters, and `maxIter`
+    * bounds the degenerate chain. Per round: one join + one
+    * hash-agg, both on (id, label) pairs only; the driver sees a
+    * single converged-count per round. Returns (doc_id, cluster_id)
+    * for every doc that appears in some pair. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) per round: iterative self-referencing
+    // DataFrames otherwise grow their LOGICAL plan every iteration
+    // (lineage chain of joins-on-previous) until analysis itself
+    // blows the heap — truncating lineage keeps each round's plan
+    // constant-size. (On a real cluster prefer reliable checkpoint
+    // to survive executor loss across rounds.)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels,
+          edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("doc_id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
 }

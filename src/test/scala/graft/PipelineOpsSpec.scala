@@ -178,6 +178,19 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"capped candidate counts: $capped")
   }
 
+  test("transitive dedup clusters: chained pairs collapse to one min-id cluster") {
+    // a~b, b~c, c~d chain (a never directly paired with d) + a
+    // disjoint pair — per-pair least() would mislabel c and d
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain than the default still converges (maxIter bound)
+    val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c2 = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(c2.values.toSet == Set(0L) && c2.size == 16)
+  }
+
   test("cosine self-join near-dups") {
     val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val rows = Seq(embRow(0, base, 0f), embRow(1, base, 0.005f),
