@@ -120,6 +120,24 @@ object DocQueries extends QuerySet {
           bits = 8, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
     }),
+    // transitive clusters over the EMBEDDING near-dup graph — same
+    // Dedup.clusters label propagation as the text path, certified by
+    // the same recursive-CTE ground-truth components oracle over the
+    // brute-force cosine pair graph (planted dups included)
+    "q_embed_clusters" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val planted = e.where(col("vec_id") < 20).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        concat(
+          array(element_at(col("embedding"), 1) * lit(1.25f)),
+          slice(col("embedding"), 2, 1000000)).as("embedding"))
+      val pairs = Similarity.cosineSelfJoin(e.unionByName(planted), 0.9,
+          bits = 8, tables = 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.operators.Dedup.clusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id", "cluster_id")
+    }),
   )
 
   private def langScores(d: DataFrame): DataFrame = {
@@ -319,6 +337,24 @@ object DocQueries extends QuerySet {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
         |ORDER BY id_a, id_b, cos""".stripMargin,
+    "q_embed_clusters" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_concat([CAST(CAST(emb[1] * 1.25 AS FLOAT) AS DOUBLE)], emb[2:]) AS emb
+        |  FROM base WHERE vec_id < 20),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |p AS (SELECT a.vec_id AS s, b.vec_id AS d
+        |      FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9),
+        |e AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM e
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
+        |SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+        |FROM reach GROUP BY s
+        |ORDER BY vec_id, cluster_id""".stripMargin,
     "q_ann_ivf" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 64 = 0),
