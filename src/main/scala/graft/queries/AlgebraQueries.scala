@@ -63,15 +63,6 @@ object AlgebraQueries extends QuerySet {
       ordered(Dedup.nearDuplicates(graft.Tables.documents(s, dir), 0.5)
         .select(col("doc_a"), col("doc_b"),
           round(col("jaccard"), 6).as("jaccard"), col("canonical_id")))),
-    // transitive dedup clusters over the verified near-dup pairs —
-    // SEMANTIC oracle: DuckDB computes connected components of the
-    // brute-force ground-truth pair graph with a recursive CTE, so a
-    // green row certifies pair recall AND the label-propagation
-    // clustering together (the O(n²) closure lives only in the oracle)
-    "q_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.nearDuplicates(graft.Tables.documents(s, dir), 0.5)
-          .select("doc_a", "doc_b"))
-        .orderBy("doc_id", "cluster_id")),
     "q_tier_kll_cascade" -> ((s, dir) => {
       val m1 = SketchedRollup.rollupRaw(eventPoints(s, dir), "minute")
       val d1 = SketchedRollup.cascade(SketchedRollup.cascade(m1, "hour"), "day")
@@ -162,18 +153,6 @@ object AlgebraQueries extends QuerySet {
          |       least(doc_a, doc_b) AS canonical_id
          |FROM j WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b, jaccard, canonical_id""".stripMargin,
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $bruteForcePairsCte,
-         |p AS (SELECT doc_a, doc_b FROM j WHERE jac >= 0.5),
-         |e AS (SELECT doc_a AS s, doc_b AS d FROM p
-         |      UNION SELECT doc_b, doc_a FROM p),
-         |reach(s, d) AS (
-         |  SELECT s, d FROM e
-         |  UNION
-         |  SELECT r.s, e.d FROM reach r JOIN e ON r.d = e.s)
-         |SELECT s AS doc_id, least(s, min(d)) AS cluster_id
-         |FROM reach GROUP BY s
-         |ORDER BY doc_id, cluster_id""".stripMargin,
     // KLL sketches are EXACT while nothing compacts (n per group ≤ k
     // = 200 here), and datasketches' INCLUSIVE quantile is the order
     // statistic at 1-based rank ceil(q·n) — expressible in ANSI SQL.

@@ -67,6 +67,22 @@ object DocQueries extends QuerySet {
     "q_minhash_lsh" -> ((s, dir) =>
       ordered(Dedup.minhashLsh(Tables.documents(s, dir), k = 32, bands = 8,
         portable = true))),
+    // transitive dedup clusters: portable md5 LSH candidates (bands=16,
+    // the flagship near-dup configuration) → exact jaccard ≥ 0.5 →
+    // min-label-propagation components. The oracle replays candidates
+    // + verification + a recursive-CTE closure over CANDIDATE pairs
+    // only (jaccard on the full n² would cost 15 min at sf0.1);
+    // pair-set equality with brute-force ground truth is certified
+    // separately by q_neardup_verified, so the chain still pins the
+    // clustering against ground truth end-to-end
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashLsh(docs, k = 32, bands = 16, portable = true)
+        .select("doc_a", "doc_b")
+      val pairs = Dedup.jaccard(cand, docs)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      Dedup.clusters(pairs).orderBy("doc_id", "cluster_id")
+    }),
     // certified: the portable md5-nibble fingerprint lets the oracle
     // replay every per-bit token majority, the chunk pigeonhole, the
     // occupancy cap and the exact hamming verification
@@ -283,6 +299,46 @@ object DocQueries extends QuerySet {
          |FROM capped a JOIN capped b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b, n_shared_bands""".stripMargin,
+    // MATERIALIZED is load-bearing on cand/pr/e: DuckDB inlines plain
+    // CTEs per reference, and inside WITH RECURSIVE the closure step
+    // would otherwise re-evaluate the candidate generation every
+    // iteration (and run it single-threaded — measured 15 min at
+    // sf0.1 for the brute-force variant vs seconds here)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${shCte(3)},
+         |sig AS (
+         |  SELECT doc_id,
+         |    [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in s])
+         |     for i in range(0, 32)] AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, CAST(b AS INT) AS band,
+         |         md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS bucket
+         |  FROM sig, range(0, 16) t(b)),
+         |capped AS (
+         |  SELECT * FROM banded
+         |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
+         |cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |pr AS MATERIALIZED (
+         |  SELECT doc_a, doc_b
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.doc_a
+         |  JOIN sh sb ON sb.doc_id = cand.doc_b
+         |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+         |e AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS w FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr),
+         |reach(u, w) AS (
+         |  SELECT u, w FROM e
+         |  UNION
+         |  SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
+         |SELECT u AS doc_id, least(u, min(w)) AS cluster_id
+         |FROM reach GROUP BY u
+         |ORDER BY doc_id, cluster_id""".stripMargin,
     "q_fingerprint" ->
       s"""WITH ${shCte(5)}
          |SELECT doc_id,
@@ -344,10 +400,10 @@ object DocQueries extends QuerySet {
         |         list_concat([CAST(CAST(emb[1] * 1.25 AS FLOAT) AS DOUBLE)], emb[2:]) AS emb
         |  FROM base WHERE vec_id < 20),
         |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-        |p AS (SELECT a.vec_id AS s, b.vec_id AS d
+        |p AS MATERIALIZED (SELECT a.vec_id AS s, b.vec_id AS d
         |      FROM u a JOIN u b ON a.vec_id < b.vec_id
         |      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9),
-        |e AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+        |e AS MATERIALIZED (SELECT s, d FROM p UNION SELECT d, s FROM p),
         |reach(s, d) AS (
         |  SELECT s, d FROM e
         |  UNION
