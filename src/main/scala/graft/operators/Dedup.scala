@@ -310,6 +310,13 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // a silent stop at maxIter would return SPLIT components (labels
+    // only partially propagated) — fail loudly instead; real near-dup
+    // clusters converge in a handful of rounds, so hitting the bound
+    // means a pathological chain the caller should know about
+    if (!converged) throw new IllegalStateException(
+      s"clusters() did not converge within maxIter=$maxIter rounds — " +
+        "pathological cluster diameter; raise maxIter")
     labels
   }
 }

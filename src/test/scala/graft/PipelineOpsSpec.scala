@@ -189,6 +189,9 @@ class PipelineOpsSpec extends SparkSpecBase {
     val chain = (0L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val c2 = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
     assert(c2.values.toSet == Set(0L) && c2.size == 16)
+    // hitting maxIter without convergence fails loudly — a silent
+    // stop would return split components
+    intercept[IllegalStateException](Dedup.clusters(chain, maxIter = 3))
   }
 
   test("cosine self-join near-dups") {
