@@ -143,13 +143,24 @@ object FreqAgg {
     override def prettyName: String = "freq_estimate"
   }
 
+  import org.apache.spark.sql.catalyst.expressions.Cast
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
+  // Items are canonicalized to their EXTERNAL string form before they
+  // enter the sketch (ADVICE r3): without the Cast, update() sees the
+  // internal Catalyst value — a date column would store day numbers
+  // and a timestamp column epoch micros, so external-form probes via
+  // freq_estimate would silently return 0. The analyzer's
+  // ResolveTimeZone fills the Cast's timezone, same as the SQL path.
   def freq_sketch(c: Column, maxMapSize: Int = 4096): Column =
-    column(FreqSketchAgg(expression(c), maxMapSize).toAggregateExpression())
+    column(FreqSketchAgg(Cast(expression(c), StringType), maxMapSize)
+      .toAggregateExpression())
   def freq_merge(c: Column, maxMapSize: Int = 4096): Column =
-    column(FreqMergeAgg(expression(c), maxMapSize).toAggregateExpression())
-  def freq_items(c: Column): Column = column(FreqItems(expression(c)))
+    column(FreqMergeAgg(Cast(expression(c), BinaryType), maxMapSize)
+      .toAggregateExpression())
+  def freq_items(c: Column): Column =
+    column(FreqItems(Cast(expression(c), BinaryType)))
   def freq_estimate(c: Column, item: Column): Column =
-    column(FreqEstimate(expression(c), expression(item)))
+    column(FreqEstimate(Cast(expression(c), BinaryType),
+      Cast(expression(item), StringType)))
 }

@@ -149,7 +149,7 @@ object AlgebraQueries extends QuerySet {
     // O(n²) scan lives only in the oracle, never in the engine.
     "q_neardup_verified" ->
       s"""WITH $bruteForcePairsCte
-         |SELECT doc_a, doc_b, round(jac, 6) AS jaccard,
+         |SELECT doc_a, doc_b, round(jac, 6) + 0.0 AS jaccard,
          |       least(doc_a, doc_b) AS canonical_id
          |FROM j WHERE jac >= 0.5
          |ORDER BY doc_a, doc_b, jaccard, canonical_id""".stripMargin,
@@ -165,8 +165,8 @@ object AlgebraQueries extends QuerySet {
          |         COUNT(*) OVER (PARTITION BY key, date_trunc('day', ts)) AS n
          |  FROM pts)
          |SELECT key, bucket, MAX(n) AS cnt, MAX(n) AS kll_n,
-         |       round(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END), 6) AS p50,
-         |       round(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END), 6) AS p90
+         |       round(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END), 6) + 0.0 AS p50,
+         |       round(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END), 6) + 0.0 AS p90
          |FROM o GROUP BY key, bucket
          |ORDER BY key, bucket, cnt, kll_n, p50, p90""".stripMargin,
     "q_tier_freq_cascade" ->

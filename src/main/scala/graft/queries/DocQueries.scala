@@ -220,13 +220,13 @@ object DocQueries extends QuerySet {
          |  FROM documents)
          |SELECT doc_id,
          |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
-         |        greatest(length(text), 1), 6) AS alpha_ratio,
+         |        greatest(length(text), 1), 6) + 0.0 AS alpha_ratio,
          |  round(CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) /
-         |        greatest(length(text), 1), 6) AS punct_ratio,
+         |        greatest(length(text), 1), 6) + 0.0 AS punct_ratio,
          |  round(CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) /
-         |        greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+         |        greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) + 0.0 AS stopword_ratio,
          |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
-         |        greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS mean_word_len
+         |        greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) + 0.0 AS mean_word_len
          |FROM t
          |ORDER BY doc_id, alpha_ratio, punct_ratio, stopword_ratio, mean_word_len""".stripMargin,
     "q_langid" ->
@@ -260,7 +260,7 @@ object DocQueries extends QuerySet {
         |)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |             len(list_distinct(list_concat(a.s, b.s))), 6) + 0.0 AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE a.doc_id < 30 AND b.doc_id < 30
         |ORDER BY doc_a, doc_b, jaccard""".stripMargin,
@@ -275,11 +275,11 @@ object DocQueries extends QuerySet {
         |  SELECT q_id, vec_id, cs,
         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
         |  FROM s)
-        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) AS cos
+        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id,
-        |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS nrm
+        |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) + 0.0 AS nrm
         |FROM embeddings ORDER BY vec_id, nrm""".stripMargin,
     "q_minhash_lsh" ->
       s"""WITH ${shCte(3)},
@@ -389,7 +389,7 @@ object DocQueries extends QuerySet {
         |  FROM base WHERE vec_id < 20),
         |e AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |       round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |       round(list_cosine_similarity(a.emb, b.emb), 6) + 0.0 AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
         |ORDER BY id_a, id_b, cos""".stripMargin,
@@ -439,7 +439,7 @@ object DocQueries extends QuerySet {
         |  SELECT q_id, vec_id, cs,
         |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
         |  FROM sc)
-        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) AS cos
+        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
         |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q_ann_lsh" -> {
       val (bits, tables, dim) = (8, 6, 64)
@@ -464,7 +464,7 @@ object DocQueries extends QuerySet {
          |  SELECT q_id, vec_id, cs,
          |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
          |  FROM sc)
-         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) AS cos
+         |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
   )

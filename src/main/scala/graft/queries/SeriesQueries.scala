@@ -183,11 +183,11 @@ object SeriesQueries extends QuerySet {
          |              + ((siv - si * sv / n) / (sii - si * si / n)) * p.pos) + sv / n AS v
          |FROM pts p JOIN ag USING (key) ORDER BY key, ts, pos, v""".stripMargin,
     "q_percentile" ->
-      s"$ptsCte SELECT key, round(quantile_cont(v, 0.2), 6) AS pct FROM pts GROUP BY key ORDER BY key, pct",
+      s"$ptsCte SELECT key, round(quantile_cont(v, 0.2), 6) + 0.0 AS pct FROM pts GROUP BY key ORDER BY key, pct",
     "q_normalize" ->
       s"""$ptsCte, base AS (
          |  SELECT key, quantile_cont(v, 0.2) AS b FROM pts GROUP BY key)
-         |SELECT p.key, p.ts, round((p.v - b) / (b + 0.1), 6) AS v
+         |SELECT p.key, p.ts, round((p.v - b) / (b + 0.1), 6) + 0.0 AS v
          |FROM pts p JOIN base USING (key) ORDER BY key, ts, v""".stripMargin,
     "q_correlate_time" ->
       s"""$ptsCte, tt AS (
@@ -223,7 +223,7 @@ object SeriesQueries extends QuerySet {
       s"""$ptsCte SELECT key, ts,
          |  COUNT(*) OVER w AS roll_n,
          |  CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS roll_mean,
-         |  round(quantile_cont(v, 0.5) OVER w, 6) AS roll_median,
+         |  round(quantile_cont(v, 0.5) OVER w, 6) + 0.0 AS roll_median,
          |  MIN(v) OVER w AS roll_min, MAX(v) OVER w AS roll_max
          |FROM pts
          |WINDOW w AS (PARTITION BY key ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
@@ -255,16 +255,16 @@ object SeriesQueries extends QuerySet {
       s"""$ptsCte, wn AS (
          |  SELECT key, v, pos, COUNT(*) OVER (PARTITION BY key) AS n FROM pts)
          |SELECT key,
-         |  round(SUM(v * cos(-2.0 * pi() * 1 * pos / n)), 6) AS re,
-         |  round(SUM(v * sin(-2.0 * pi() * 1 * pos / n)), 6) AS im
+         |  round(SUM(v * cos(-2.0 * pi() * 1 * pos / n)), 6) + 0.0 AS re,
+         |  round(SUM(v * sin(-2.0 * pi() * 1 * pos / n)), 6) + 0.0 AS im
          |FROM wn GROUP BY key ORDER BY key""".stripMargin,
     "q_dft_multi" ->
       s"""$ptsCte, wn AS (
          |  SELECT key, v, pos, COUNT(*) OVER (PARTITION BY key) AS n FROM pts),
          |ex AS (SELECT key, v, pos, n, CAST(k AS INT) AS k FROM wn, range(1, 4) t(k))
          |SELECT key, k,
-         |  round(SUM(v * cos(-2.0 * pi() * k * pos / n)), 6) AS re,
-         |  round(SUM(v * sin(-2.0 * pi() * k * pos / n)), 6) AS im
+         |  round(SUM(v * cos(-2.0 * pi() * k * pos / n)), 6) + 0.0 AS re,
+         |  round(SUM(v * sin(-2.0 * pi() * k * pos / n)), 6) + 0.0 AS im
          |FROM ex GROUP BY key, k ORDER BY key, k""".stripMargin,
     // naive O(n²) DFT ground truth over the zscored md5-class subset;
     // the (pos, k) grid comes from a self-join on key (each key's own
@@ -281,8 +281,8 @@ object SeriesQueries extends QuerySet {
          |  SELECT p.key, p.pos, (p.v - $kMeanSql) / $kStdSql AS z, n
          |  FROM fp p JOIN ks USING (key))
          |SELECT a.key AS key, CAST(b.pos AS INT) AS k,
-         |  round(SUM(a.z * cos(-2.0 * pi() * b.pos * a.pos / a.n)), 6) AS re,
-         |  round(SUM(a.z * sin(-2.0 * pi() * b.pos * a.pos / a.n)), 6) AS im
+         |  round(SUM(a.z * cos(-2.0 * pi() * b.pos * a.pos / a.n)), 6) + 0.0 AS re,
+         |  round(SUM(a.z * sin(-2.0 * pi() * b.pos * a.pos / a.n)), 6) + 0.0 AS im
          |FROM z a JOIN (SELECT DISTINCT key, pos FROM fp) b USING (key)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_mean_by_window" ->
@@ -319,7 +319,7 @@ object SeriesQueries extends QuerySet {
          |       (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) AS r
          |FROM ag ORDER BY key, lag, r""".stripMargin,
     "q_normalize_window" ->
-      s"""$ptsCte SELECT key, ts, round((v - b) / (b + 0.1), 6) AS v FROM (
+      s"""$ptsCte SELECT key, ts, round((v - b) / (b + 0.1), 6) + 0.0 AS v FROM (
          |  SELECT key, ts, v,
          |         quantile_cont(v, 0.2) OVER (PARTITION BY key ORDER BY ts
          |           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS b

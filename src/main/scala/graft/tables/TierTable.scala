@@ -170,15 +170,36 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     parseManifest(new String(
       Files.readAllBytes(metaDir.resolve(s"v$v.json")), StandardCharsets.UTF_8))
 
+  /** Highest version whose manifest actually parses. Normally ==
+    * [[currentVersion]]; differs only if a power/OS crash persisted
+    * the v{N}.json link but not all of its (fsync'd) data pages — in
+    * that case readers fall back LOUDLY to the previous committed
+    * version instead of refusing every read, and the next commit
+    * numbers past the corrupt file (its parent pointer bypasses it),
+    * so the table heals instead of wedging. Parsing stays strict:
+    * this skips only unreadable HEADs, never partial entries. */
+  def readableHead: Int = {
+    var v = currentVersion
+    while (v >= 0) {
+      try { manifestAt(v); return v }
+      catch { case e: Exception =>
+        System.err.println(s"graft.TierTable: manifest v$v of $root is " +
+          s"unreadable (${e.getMessage}) — falling back to v${v - 1}")
+        v -= 1
+      }
+    }
+    -1
+  }
+
   def currentManifest: Option[Manifest] = {
-    val v = currentVersion
+    val v = readableHead
     if (v < 0) None else Some(manifestAt(v))
   }
 
   /** Resolve the live partition set at HEAD: walk the delta chain down
     * to the nearest full snapshot, newest entry wins per partition.
     * O(chain length) manifest reads — bounded by `compactEvery`. */
-  def resolvedEntries: Seq[PartEntry] = resolvedAt(currentVersion)
+  def resolvedEntries: Seq[PartEntry] = resolvedAt(readableHead)
 
   private def resolvedAt(head: Int): Seq[PartEntry] = {
     val seen = scala.collection.mutable.LinkedHashMap[(Int, String), PartEntry]()
@@ -208,6 +229,14 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   private def commit(m: Manifest): Unit = {
     val tmp = metaDir.resolve(s"tmp-${nonce()}.json")
     Files.write(tmp, manifestJson(m).getBytes(StandardCharsets.UTF_8))
+    // Durability before visibility: force the manifest's data pages to
+    // disk BEFORE the atomic publish. Without this, a power/OS crash
+    // can persist the v{N}.json directory entry but not its contents —
+    // a committed-but-truncated manifest that the strict parser then
+    // rejects forever. (readableHead is the belt-and-braces recovery.)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
     beforeCommit(m.version)
     try Files.createLink(metaDir.resolve(s"v${m.version}.json"), tmp)
     catch {
@@ -217,9 +246,25 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
           s"commit conflict: version ${m.version} of $root already exists " +
             "(concurrent writer) — re-read the snapshot and retry the merge " +
             "(this writer's data dir is orphaned, reclaimable via vacuum())")
+      case _: java.nio.file.NoSuchFileException =>
+        // a concurrent vacuum() swept our temp manifest between write
+        // and link (only possible past the grace window) — retryable,
+        // same contract as losing the CAS
+        throw new TierTable.CommitConflictException(
+          s"commit conflict: temp manifest for version ${m.version} of $root " +
+            "vanished before publish (concurrent vacuum) — retry the merge")
     }
+    // persist the directory entry for the link itself
+    fsyncDir(metaDir)
     Files.deleteIfExists(tmp)
   }
+
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir,
+        java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () } // not supported on all platforms
 
   private def nonce(): String =
     java.util.UUID.randomUUID().toString.take(8)
@@ -281,9 +326,13 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * O(touched) only.
     */
   def merge(updates: DataFrame, runId: String): Manifest = {
-    val prevVersion = currentVersion
+    // resolve from the last READABLE snapshot, but number past the
+    // highest committed file — a crash-corrupted head (readableHead <
+    // currentVersion) is bypassed by the parent pointer and never
+    // blocks future commits
+    val prevVersion = readableHead
     val resolved = resolvedAt(prevVersion).map(e => (e.pb, e.pd) -> e).toMap
-    val newVersion = prevVersion + 1
+    val newVersion = currentVersion + 1
     val makeFull = newVersion % compactEvery == 0
     val upd = withPartCols(updates).cache()
     try {
@@ -377,15 +426,31 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val referenced: Set[String] =
       (0 to currentVersion).flatMap { v =>
         val p = metaDir.resolve(s"v$v.json")
-        if (Files.exists(p)) manifestAt(v).entries.map(_.dir.split('/').take(2).mkString("/"))
+        // an unreadable (crash-truncated) manifest references nothing a
+        // reader can reach: its own nonce'd data dirs ARE orphans, and
+        // carried-forward dirs stay referenced by the manifests that
+        // created them
+        if (Files.exists(p))
+          try manifestAt(v).entries.map(_.dir.split('/').take(2).mkString("/"))
+          catch { case _: Exception =>
+            System.err.println(s"graft.TierTable: vacuum skipping unreadable manifest v$v")
+            Nil
+          }
         else Nil
       }.toSet
     val victims = listDir(dataDir)
       .filter(p => !referenced.contains(s"data/${p.getFileName}"))
     victims.foreach(deleteRecursively)
-    // stray temp manifests from crashed writers
+    // stray temp manifests from crashed writers — AGE-GATED: an
+    // in-flight writer sits between Files.write(tmp) and createLink
+    // for milliseconds, so only temp files older than the grace
+    // window can be orphans (deleting a live one would fail that
+    // writer's commit — it surfaces as a retryable conflict, but
+    // there's no reason to cause it)
+    val cutoff = System.currentTimeMillis() - TierTable.tmpGraceMs
     listDir(metaDir)
-      .filter(_.getFileName.toString.startsWith("tmp-"))
+      .filter(p => p.getFileName.toString.startsWith("tmp-") &&
+        Files.getLastModifiedTime(p).toMillis < cutoff)
       .foreach(Files.deleteIfExists(_))
     victims.size
   }
@@ -425,12 +490,12 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * re-insert them (the same contract as a replayed write after an
     * Iceberg DELETE). Returns the dropped partition count. */
   def dropPartitionsBefore(cutoffDay: String): Int = {
-    val prev = currentVersion
+    val prev = readableHead
     if (prev < 0) return 0
     val resolved = resolvedAt(prev)
     val (dropped, kept) = resolved.partition(_.pd < cutoffDay)
     if (dropped.isEmpty) return 0
-    commit(Manifest(prev + 1, prev, full = true,
+    commit(Manifest(currentVersion + 1, prev, full = true,
       kept.map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))))
     dropped.size
   }
@@ -508,4 +573,10 @@ object TierTable {
     * catch sites keep working; [[TierTable.mergeRetrying]] keys its
     * retry decision on the TYPE, never on the message text. */
   class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
+  /** Grace window before [[TierTable.vacuum]] may sweep a tmp-*.json:
+    * an in-flight writer holds its temp manifest for milliseconds
+    * (write → fsync → link), so an hour-old one is certainly a crash
+    * orphan. Var (not config) so the race spec can shrink it. */
+  @volatile var tmpGraceMs: Long = 60L * 60 * 1000
 }

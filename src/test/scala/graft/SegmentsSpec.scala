@@ -78,6 +78,24 @@ class SegmentsSpec extends SparkSpecBase {
     assert(merged == exact)
   }
 
+  test("freq sketch stores EXTERNAL item form via the Column API (date/timestamp probes match)") {
+    // ADVICE r3: without the Cast in the Column wrapper, update() saw
+    // internal Catalyst values (day numbers / epoch micros) and the
+    // external-form probe silently estimated 0
+    val pts = (0 until 90).map(i => Point(s"k", t(i.toLong * 86400), 1.0)).toDF()
+    val byDay = pts.agg(FreqAgg.freq_sketch(to_date(col("ts")), 256).as("sk"))
+    assert(byDay.select(FreqAgg.freq_estimate(col("sk"), lit("2024-01-03")).as("e"))
+      .head().getLong(0) == 1L)
+    val byTs = pts.agg(FreqAgg.freq_sketch(col("ts"), 256).as("sk"))
+    assert(byTs.select(
+        FreqAgg.freq_estimate(col("sk"), lit("2024-01-03 00:00:00")).as("e"))
+      .head().getLong(0) == 1L)
+    // and the items list carries external strings, not epoch micros
+    val items = byDay.select(explode(FreqAgg.freq_items(col("sk"))).as("fi"))
+      .select(col("fi.item")).as[String].collect()
+    assert(items.contains("2024-01-05") && items.forall(_.startsWith("2024-")))
+  }
+
   test("KLL merge law: sketch(a++b) ≈ merge(sketch(a), sketch(b)); cascade via kll_merge") {
     val pts = (0 until 2000).map { i =>
       Point(s"k${i % 4}", t(i * 97), ((i * 31) % 500) / 3.0)

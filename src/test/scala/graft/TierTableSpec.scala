@@ -183,6 +183,55 @@ class TierTableSpec extends SparkSpecBase {
     assert(tt.vacuum() >= 1) // the crashed attempt's data dir + tmp manifest
   }
 
+  test("vacuum age-gates temp manifests: fresh tmp survives (in-flight writer), stale tmp is swept") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    tt.merge(Rollup.rollupRaw(mkPts(2, 100).toDF(), "minute"), "r1")
+    val meta = java.nio.file.Paths.get(root, "_meta")
+    val fresh = meta.resolve("tmp-fresh1.json")
+    val stale = meta.resolve("tmp-stale1.json")
+    Files.write(fresh, "{}".getBytes)
+    Files.write(stale, "{}".getBytes)
+    Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - TierTable.tmpGraceMs - 60000))
+    tt.vacuum()
+    // ADVICE r3: an unconditional sweep here killed in-flight commits
+    // (NoSuchFileException instead of a retryable conflict)
+    assert(Files.exists(fresh), "fresh temp manifest must survive the grace window")
+    assert(!Files.exists(stale), "stale temp manifest must be reclaimed")
+  }
+
+  test("crash-truncated HEAD manifest: reads fall back to the previous version; next merge heals past it") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = mkPts(2, 200)
+    val b = mkPts(2, 200, startSec = 99999)
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "r1") // v0
+    tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), "r2") // v1
+    val atV1 = Rollup.present(tt.read()).collect().toSet
+    // simulate the power-crash artifact the fsync defends against: a
+    // committed v2.json whose data pages never hit disk (truncated
+    // mid-entries — the strict parser must reject it)
+    Files.write(java.nio.file.Paths.get(root, "_meta", "v2.json"),
+      """{"version":2,"parent":1,"full":false,"entries":[{"pb":0,""".getBytes)
+    assert(tt.currentVersion == 2 && tt.readableHead == 1)
+    // reads are NOT refused — they fall back to v1 (loudly, on stderr)
+    assert(Rollup.present(tt.read()).collect().toSet == atV1)
+    // and the table is not wedged: the next merge numbers past the
+    // corrupt file with its parent pointer bypassing it
+    val c = mkPts(2, 200, startSec = 222222)
+    val m = tt.merge(Rollup.rollupRaw(c.toDF(), "minute"), "r3")
+    assert(m.version == 3 && m.parent == 1)
+    val want = Rollup.present(Rollup.rollupRaw((a ++ b ++ c).toDF(), "minute"))
+    val got = Rollup.present(tt.read())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // vacuum with the unreadable manifest in the chain is safe: it
+    // skips v2 and must not delete anything v3's chain references
+    tt.vacuum()
+    val after = Rollup.present(tt.read())
+    assert(after.exceptAll(want).count() == 0 && want.exceptAll(after).count() == 0)
+  }
+
   test("runIds survive any character (JSON-array lineage, not comma-joined)") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)

@@ -59,13 +59,26 @@ def main(sf_dir, out_dir):
         for c in got.columns:
             a, b = got[c], want[c]
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                # BYTE-STRICT: the driver hashes raw bytes, so -0.0 vs 0.0
+                # and differing NaN payloads are real failures even though
+                # float == passes (the r03 q_fft signed-zero miss — the r01
+                # dtype lesson one layer deeper).
                 import numpy as np
                 aa, bb = a.astype(float).values, b.astype(float).values
-                same = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
-                if not same.all():
-                    d = np.nanmax(np.abs(aa - bb))
-                    print(f"FAIL {name}: col {c} float mismatch maxabs={d:g} "
-                          f"n_bad={(~same).sum()}")
+                if aa.tobytes() != bb.tobytes():
+                    byte_same = aa.view(np.int64) == bb.view(np.int64)
+                    same_val = (aa == bb) | (np.isnan(aa) & np.isnan(bb))
+                    if not same_val.all():
+                        d = np.nanmax(np.abs(aa - bb))
+                        print(f"FAIL {name}: col {c} float mismatch maxabs={d:g} "
+                              f"n_bad={(~same_val).sum()}")
+                    else:
+                        n = int((~byte_same).sum())
+                        i = int(np.argmax(~byte_same))
+                        print(f"FAIL {name}: col {c} byte-level float mismatch "
+                              f"(signed zero / NaN payload) n_bad={n} "
+                              f"first row {i}: got={aa[i]!r} want={bb[i]!r} "
+                              f"signbits got={np.signbit(aa[i])} want={np.signbit(bb[i])}")
                     ok = False
             else:
                 if not a.astype(str).equals(b.astype(str)):
