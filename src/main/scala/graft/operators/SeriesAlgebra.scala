@@ -55,6 +55,36 @@ object SeriesAlgebra {
     * Spark aggregate expression. */
   def aggregateByIndex(points: DataFrame, label: Column, agg: Column): DataFrame =
     points.groupBy(col("key"), label.as("label")).agg(agg.as("v"))
+
+  /** Multi-level stat_by_index (thunder's MultiIndex `level=` form,
+    * thunder/series/series.py :: Series.stat_by_index / _makeMasks):
+    * stats at EVERY prefix level of a two-level index hierarchy in a
+    * single pass — ROLLUP(key, l1, l2) grouping sets, so the scan and
+    * the shuffle are paid once for all levels instead of once per
+    * level (thunder re-aggregates per level; at 100 TB the one-pass
+    * grouping-sets plan is the difference between 1 and L scans).
+    *
+    * `gid` disambiguates levels (Spark grouping_id over (key,l1,l2)):
+    * 0 = per (key,l1,l2), 1 = per (key,l1), 3 = per key,
+    * 7 = grand total. Grouped-out labels surface as -1 / '<all>' so
+    * every output column keeps a non-nullable primitive type (a NULL
+    * int label would round-trip as float64 through pandas and trip
+    * the driver's dtype-strict compare). */
+  def statByIndexMulti(points: DataFrame, l1: Column, l2: Column): DataFrame = {
+    val vd = col("v").cast("decimal(18,6)")
+    points
+      .rollup(col("key"), l1.as("l1"), l2.as("l2"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(vd).as("sum_d"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .select(
+        coalesce(col("key"), lit("<all>")).as("key"),
+        col("gid").cast("int").as("gid"),
+        coalesce(col("l1"), lit(-1)).cast("int").as("l1"),
+        coalesce(col("l2"), lit(-1)).cast("int").as("l2"),
+        col("n"),
+        (col("sum_d").cast("double") / col("n")).as("mean_v"),
+        col("min_v"), col("max_v"))
+  }
 }
 
 /** Rollup tiers carrying KLL percentile sketches alongside the exact

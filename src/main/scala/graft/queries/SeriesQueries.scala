@@ -126,6 +126,11 @@ object SeriesQueries extends QuerySet {
       ordered(SeriesOps.meanAcrossKeys(eventPoints(s, dir), "hour"))),
     "q_mean_by_hod" -> ((s, dir) =>
       ordered(SeriesOps.meanByHourOfDay(eventPoints(s, dir)))),
+    // thunder's multi-level stat_by_index: all prefix levels of the
+    // (hour, minute) index hierarchy in ONE grouping-sets pass
+    "q_stat_by_index_multi" -> ((s, dir) =>
+      ordered(SeriesAlgebra.statByIndexMulti(eventPoints(s, dir),
+        hour(col("ts")), minute(col("ts"))))),
   )
 
   private val zBody =
@@ -373,5 +378,33 @@ object SeriesQueries extends QuerySet {
       s"""$ptsCte SELECT key, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n,
          |  CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
          |FROM pts GROUP BY 1, 2 ORDER BY key, hod, n, v""".stripMargin,
+    // the four ROLLUP(key, l1, l2) grouping sets replayed as explicit
+    // UNION ALL levels (gid = Spark's grouping_id: 0, 1, 3, 7), so no
+    // cross-engine GROUPING_ID bit-order assumption is needed
+    "q_stat_by_index_multi" ->
+      s"""$ptsCte, base AS (
+         |  SELECT key, CAST(hour(ts) AS INT) AS l1, CAST(minute(ts) AS INT) AS l2, v
+         |  FROM pts)
+         |SELECT * FROM (
+         |  SELECT key, 0 AS gid, l1, l2, COUNT(*) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+         |         MIN(v) AS min_v, MAX(v) AS max_v
+         |  FROM base GROUP BY key, l1, l2
+         |  UNION ALL
+         |  SELECT key, 1 AS gid, l1, -1 AS l2, COUNT(*) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+         |         MIN(v) AS min_v, MAX(v) AS max_v
+         |  FROM base GROUP BY key, l1
+         |  UNION ALL
+         |  SELECT key, 3 AS gid, -1 AS l1, -1 AS l2, COUNT(*) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+         |         MIN(v) AS min_v, MAX(v) AS max_v
+         |  FROM base GROUP BY key
+         |  UNION ALL
+         |  SELECT '<all>' AS key, 7 AS gid, -1 AS l1, -1 AS l2, COUNT(*) AS n,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+         |         MIN(v) AS min_v, MAX(v) AS max_v
+         |  FROM base)
+         |ORDER BY key, gid, l1, l2, n, mean_v, min_v, max_v""".stripMargin,
   )
 }

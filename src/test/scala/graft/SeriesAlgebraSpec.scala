@@ -55,4 +55,31 @@ class SeriesAlgebraSpec extends SparkSpecBase {
     // even minutes: 1+4+11=16? positions 0,2,4 → label 1; 1,3,5 → label 0
     assert(got == Seq(2.0 + 7.0 + 16.0, 1.0 + 4.0 + 11.0))
   }
+
+  test("statByIndexMulti: one grouping-sets pass yields consistent stats at every level") {
+    // 2 keys × 2 hours × values spread over minutes
+    val p = (0 until 240).map { i =>
+      Point(s"k${i % 2}", t(i * 60), (i % 7).toDouble)
+    }.toDF()
+    val got = SeriesAlgebra.statByIndexMulti(p, hour(col("ts")), minute(col("ts")))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)) ->
+        (r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    // level counts: fine rows roll up exactly to their parents
+    val fine = got.filter(_._1._2 == 0)
+    val perL1 = got.filter(_._1._2 == 1)
+    val perKey = got.filter(_._1._2 == 3)
+    val total = got.filter(_._1._2 == 7)
+    assert(total.size == 1 && total.head._1 == ("<all>", 7, -1, -1))
+    assert(total.head._2._1 == 240L)
+    assert(fine.values.map(_._1).sum == 240L && perL1.values.map(_._1).sum == 240L)
+    perKey.foreach { case ((k, _, _, _), (n, mean, mn, mx)) =>
+      val children = perL1.filter(_._1._1 == k)
+      assert(children.values.map(_._1).sum == n)
+      assert(mn == children.values.map(_._3).min && mx == children.values.map(_._4).max)
+      assertClose(mean, children.values.map(c => c._2 * c._1).sum / n)
+    }
+    // grouped-out labels surface as -1, never NULL (dtype-strict gate)
+    assert(got.keys.forall { case (_, gid, l1, l2) =>
+      (gid != 1 || l2 == -1) && (gid != 3 || (l1 == -1 && l2 == -1)) })
+  }
 }
