@@ -116,7 +116,16 @@ object Dedup {
     * band buckets so a SQL oracle can replay the exact pair set. */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
       shingleN: Int = 3, maxBucket: Int = 1000,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false): DataFrame =
+    candidatesFromBanded(
+      bandedSignatures(docs, k, bands, shingleN, portable), maxBucket)
+
+  /** Banded signature rows (doc_id, band, bucket) — the persistable
+    * LSH index form: one row per doc per band, computed as a pure
+    * projection over the text scan. [[DedupIndex]] appends exactly
+    * these rows per batch so old documents are never re-shingled. */
+  def bandedSignatures(docs: DataFrame, k: Int, bands: Int,
+      shingleN: Int, portable: Boolean): DataFrame = {
     val rowsPerBand = k / bands
     val sig =
       if (portable) minhashSignaturesPortable(docs, k, shingleN)
@@ -125,9 +134,17 @@ object Dedup {
       val rows = slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
       if (portable) md5(concat_ws("|", rows)) else hash(rows, lit(b)).cast("string")
     }: _*)
-    val wBucket = Window.partitionBy(col("band"), col("bucket"))
-    val banded = sig.select(col("doc_id"), posexplode(bandCols))
+    sig.select(col("doc_id"), posexplode(bandCols))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  /** Candidate pairs from banded index rows: occupancy-cap the band
+    * buckets, self-join on (band, bucket). Pure function of the index
+    * row SET — so pairs over an incrementally-maintained index are
+    * identical to the one-shot pipeline's by construction. */
+  def candidatesFromBanded(banded0: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val wBucket = Window.partitionBy(col("band"), col("bucket"))
+    val banded = banded0
       .withColumn("occ", count(lit(1)).over(wBucket))
       .where(col("occ") <= maxBucket)
       .drop("occ")

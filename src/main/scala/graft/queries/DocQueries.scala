@@ -83,6 +83,23 @@ object DocQueries extends QuerySet {
         .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
       Dedup.clusters(pairs).orderBy("doc_id", "cluster_id")
     }),
+    // INCREMENTAL dedup maintenance (r3 verdict next-#5): the same
+    // corpus arrives as 3 doc_id-partitioned batches appended to a
+    // persistent band-bucket index (AppendIndexTable: atomic commits,
+    // runId lineage), with batch 1 replayed (crash-resume no-op); the
+    // accumulated index's candidate pairs must equal the ONE-SHOT
+    // minhashLsh pipeline — the oracle IS q_minhash_lsh's oracle.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = freshDir(s"graft_qdi_${math.abs(dir.hashCode).toString}")
+      val idx = new DedupIndex(s, root, k = 32, bands = 8, portable = true)
+      (0 until 3).foreach { i =>
+        idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === i), s"qdi_batch$i")
+      }
+      // replayed batch: lineage makes it a no-op, not duplicate rows
+      idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === 1), "qdi_batch1")
+      ordered(idx.candidatePairs())
+    }),
     // certified: the portable md5-nibble fingerprint lets the oracle
     // replay every per-bit token majority, the chunk pigeonhole, the
     // occupancy cap and the exact hamming verification
@@ -196,6 +213,25 @@ object DocQueries extends QuerySet {
       s"(CASE WHEN list_dot_product($e, ${planeList(t, b, dim)}) >= 0 THEN ${1L << b} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  private lazy val minhashLshOracle: String =
+    s"""WITH ${shCte(3)},
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in s])
+       |     for i in range(0, 32)] AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, CAST(b AS INT) AS band,
+       |         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
+       |  FROM sig, range(0, 8) t(b)),
+       |capped AS (
+       |  SELECT * FROM banded
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+       |FROM capped a JOIN capped b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY doc_a, doc_b, n_shared_bands""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """WITH h AS (SELECT doc_id, sha256(text) AS hh FROM documents)
@@ -281,24 +317,10 @@ object DocQueries extends QuerySet {
       """SELECT vec_id,
         |       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) + 0.0 AS nrm
         |FROM embeddings ORDER BY vec_id, nrm""".stripMargin,
-    "q_minhash_lsh" ->
-      s"""WITH ${shCte(3)},
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in s])
-         |     for i in range(0, 32)] AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, CAST(b AS INT) AS band,
-         |         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bucket
-         |  FROM sig, range(0, 8) t(b)),
-         |capped AS (
-         |  SELECT * FROM banded
-         |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
-         |FROM capped a JOIN capped b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY doc_a, doc_b, n_shared_bands""".stripMargin,
+    "q_minhash_lsh" -> minhashLshOracle,
+    // incremental index ≡ one-shot pipeline: same oracle, verbatim —
+    // the strongest statement batch maintenance can make
+    "q_dedup_incremental" -> minhashLshOracle,
     // MATERIALIZED is load-bearing on cand/pr/e: DuckDB inlines plain
     // CTEs per reference, and inside WITH RECURSIVE the closure step
     // would otherwise re-evaluate the candidate generation every

@@ -27,6 +27,18 @@ object Q {
   def ordered(df: DataFrame): DataFrame =
     df.orderBy(df.columns.toSeq.map(col): _*)
 
+  /** Per-query scratch root under tmpdir, wiped before use so a
+    * stateful query (tier tables, streams) starts from nothing. */
+  def freshDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), name)
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(p.toFile)
+    p.toString
+  }
+
   /** DuckDB CTE `pts` = events in tall positional form; mirror of
     * Signals.fromEvents + SeriesOps.withPos. */
   val ptsCte: String =

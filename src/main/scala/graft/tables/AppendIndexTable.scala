@@ -1,0 +1,64 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only batch table over the TierTable commit machinery:
+  * atomic single-link commits, delta manifests with periodic FULL
+  * compaction, runId lineage, vacuum/expiry — but batches ACCUMULATE
+  * instead of merging (each commit's partitions get a batch-unique
+  * pd label, so the resolver's first-seen-wins never supersedes an
+  * older batch).
+  *
+  * This is the storage shape for incrementally-maintained derived
+  * indexes (the MinHash band-bucket index, an IVF assignment table):
+  * a batch's rows are a pure function of that batch's source rows, so
+  * maintenance is append + lineage, never rewrite. Resume contract is
+  * whole-batch: a runId that already committed is skipped entirely
+  * (the batch's write is atomic — either its manifest link landed or
+  * its nonce'd data dir is an invisible orphan). */
+class AppendIndexTable(spark: SparkSession, root: String, nBuckets: Int = 16,
+    compactEvery: Int = 8)
+  extends TierTable(spark, root, nBuckets, compactEvery) {
+
+  /** True if `runId` already committed (crash-resume: skip). */
+  def committed(runId: String): Boolean =
+    resolvedEntries.exists(_.runIds.contains(runId))
+
+  /** Append one batch atomically; rows are hash-distributed on
+    * `hashCol` into `nBuckets` pb partitions (co-locating downstream
+    * joins on that column). Returns false when the runId had already
+    * committed (resumed no-op). */
+  def append(rows: DataFrame, runId: String, hashCol: String): Boolean = {
+    if (committed(runId)) return false
+    val prev = readableHead
+    val newVersion = currentVersion + 1
+    val makeFull = newVersion % compactEvery == 0
+    val outDir = s"data/v$newVersion-${nonce()}"
+    val withPb = rows
+      .withColumn("pb", pmod(xxhash64(col(hashCol)), lit(nBuckets.toLong)).cast("int"))
+      .cache()
+    try {
+      withPb.repartition(col("pb")).write
+        .partitionBy("pb")
+        .mode(SaveMode.Overwrite)
+        .parquet(s"$root/$outDir")
+      val counts = withPb.groupBy("pb").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return false // empty batch publishes nothing
+      // pd is the batch label (unique per commit), so entries from
+      // different batches never collide in the resolver's (pb, pd) map
+      val pd = s"batch-v$newVersion"
+      val newEntries = counts.keys.toSeq.sorted.map { pb =>
+        val dir = s"$outDir/pb=$pb"
+        PartEntry(pb, pd, dir, counts(pb),
+          dirSize(java.nio.file.Paths.get(root).resolve(dir)), Seq(runId))
+      }
+      val entries =
+        if (makeFull) resolvedEntries ++ newEntries
+        else newEntries
+      commit(Manifest(newVersion, prev, makeFull, entries))
+      true
+    } finally withPb.unpersist()
+  }
+}

@@ -226,7 +226,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * FileAlreadyExistsException → surfaced as a commit conflict. The
     * loser has written only to its own nonce'd data dir and its own
     * temp manifest, so the winner's snapshot is untouched. */
-  private def commit(m: Manifest): Unit = {
+  protected def commit(m: Manifest): Unit = {
     val tmp = metaDir.resolve(s"tmp-${nonce()}.json")
     Files.write(tmp, manifestJson(m).getBytes(StandardCharsets.UTF_8))
     // Durability before visibility: force the manifest's data pages to
@@ -266,7 +266,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       try ch.force(true) finally ch.close()
     } catch { case _: Exception => () } // not supported on all platforms
 
-  private def nonce(): String =
+  protected def nonce(): String =
     java.util.UUID.randomUUID().toString.take(8)
 
   // ---- read ---------------------------------------------------------
@@ -553,7 +553,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     Files.deleteIfExists(p)
   }
 
-  private def dirSize(p: Path): Long =
+  protected def dirSize(p: Path): Long =
     if (!Files.exists(p)) 0L
     else Files.walk(p).iterator().asScala
       .filter(Files.isRegularFile(_)).map(Files.size).sum

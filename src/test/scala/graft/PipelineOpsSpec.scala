@@ -83,6 +83,40 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("incremental dedup index: batch appends + crash resume ≡ one-shot minhashLsh") {
+    // corpus with cross-batch duplicates (i and i+40 share text), so
+    // incremental candidates REQUIRE joining new batches against the
+    // persisted index, not just within-batch pairs
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, s"shared template sentence number ${i % 40} with some padding words")
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    val idx = new DedupIndex(spark, root, k = 32, bands = 16, shingleN = 2)
+    // incoming batch 2 against index of batches 0-1: only pairs
+    // touching batch-2 docs (every 40+i doc pairs with doc i)
+    (0 until 2).foreach { b =>
+      idx.addBatch(corpus.where(col("doc_id") % 3 === b), s"b$b")
+    }
+    val batch2 = corpus.where(col("doc_id") % 3 === 2)
+    val b2Ids = batch2.select("doc_id").as[Long].collect().toSet
+    val fresh = idx.newCandidates(batch2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fresh.nonEmpty && fresh.forall(p => b2Ids(p._1) || b2Ids(p._2)))
+    idx.addBatch(batch2, "b2")
+    // crash-resume: replaying a committed batch is a lineage no-op
+    val vBefore = idx.table.currentVersion
+    assert(!idx.addBatch(corpus.where(col("doc_id") % 3 === 1), "b1"))
+    assert(idx.table.currentVersion == vBefore)
+    // the accumulated index's pairs == the one-shot pipeline's, exactly
+    val inc = idx.candidatePairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = Dedup.minhashLsh(corpus, k = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == oneShot && inc.nonEmpty)
+    // cross-batch dup pairs really are present (i, i+40 for i in batch≠batch)
+    assert(inc.exists { case (a, b, _) => b - a == 40 })
+  }
+
   test("jaccard: 1.0 for exact dups, high for near dup, used to verify LSH candidates") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccard(pairs, docs, shingleN = 2).collect()
