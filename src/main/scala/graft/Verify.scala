@@ -39,6 +39,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // record WHICH scale factor this dump ran at (r3 verdict next-#7:
+    // correctness claims must say what was run) — the driver copies
+    // the out dir, so the provenance rides along
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"sf_dir": ${q(sfDir)}, "n_queries": ${SparkEntry.queries.size}, """ +
+        s""""n_oracles": ${SparkEntry.oracleSql.size}, "cpus": ${q(cpus)}}""")
     spark.stop()
   }
 }

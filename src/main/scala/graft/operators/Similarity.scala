@@ -180,15 +180,33 @@ object Similarity {
     val cents = c.where(col("vec_id") % step === 0)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
+    ivfWithCentroids(c, queries, k, cents, nProbe, maxList)
+  }
+
+  /** Per-row argmax/top-`keep` centroid assignment: broadcast the
+    * (bounded, ≈√n) centroid set, score scan-locally, keep the best
+    * `keep` per id — Spark 4's map-side WindowGroupLimit collapses the
+    * rank-≤-keep window BEFORE any exchange, so n·C scores shuffle as
+    * n rows (PLANS.md §IVF). */
+  private def nearestCents(side: DataFrame, cents: DataFrame, idCol: String,
+      embCol: String, nrmCol: String, keep: Int): DataFrame = {
+    val scored = side.join(broadcast(cents))
+      .select(col(idCol), col("cent_id"),
+        cosine(col(embCol), col("cent_emb"), col(nrmCol), col("cent_nrm")).as("cs"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cs").desc, col("cent_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= keep)
+      .select(col(idCol), col("cent_id"))
+  }
+
+  /** IVF core shared by the pivot and k-means quantizers: assignment,
+    * rank-capped inverted lists, probe, exact id-only re-rank. `c` is
+    * the normalized corpus (vec_id, emb, nrm); `cents` is (cent_id,
+    * cent_emb, cent_nrm). */
+  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nProbe: Int, maxList: Int): DataFrame = {
     def nearest(side: DataFrame, idCol: String, embCol: String, nrmCol: String,
-        keep: Int): DataFrame = {
-      val scored = side.join(broadcast(cents))
-        .select(col(idCol), col("cent_id"),
-          cosine(col(embCol), col("cent_emb"), col(nrmCol), col("cent_nrm")).as("cs"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("cs").desc, col("cent_id"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= keep)
-        .select(col(idCol), col("cent_id"))
-    }
+        keep: Int): DataFrame =
+      nearestCents(side, cents, idCol, embCol, nrmCol, keep)
     // Hot-list guard: unlike the LSH bucket caps (where a dropped
     // (table, bucket) is backed up by the other hash tables), a
     // vector's single argmax assignment is its ONLY path into the
@@ -218,6 +236,78 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** Spherical k-means centroids over the embedding column — the
+    * production coarse quantizer for [[ivfTopKKmeans]] (r3 verdict
+    * next-#4). Plain-DataFrame Lloyd's iterations with the
+    * [[Dedup.clusters]] discipline (eager localCheckpoint per round
+    * keeps the logical plan constant-size):
+    *
+    *   - init: the deterministic pivot seeds (`vec_id % step == 0`) —
+    *     reproducible, and exactly the quantizer the certified
+    *     q_ann_ivf oracle replays, so the A/B is apples-to-apples;
+    *   - assign: broadcast centroids, scan-local argmax cosine
+    *     (map-side WindowGroupLimit: n·C scores never shuffle);
+    *   - update: element-wise mean per list via posexplode →
+    *     groupBy(cent_id, pos) — dim·C cells, never a driver-side
+    *     collect of vectors. Cosine ignores scale, so the plain mean
+    *     IS the spherical-k-means centroid direction;
+    *   - stop: assignments unchanged, or maxIter (k-means converges
+    *     monotonically — a bounded cut-off is standard, unlike the
+    *     label-propagation case where it would split components).
+    *
+    * Empty lists drop their centroid (standard Lloyd's); C shrinks
+    * monotonically at most. Cost per round: one broadcast-scored scan
+    * + one (cent_id, pos)-keyed agg — both linear in n·dim. */
+  def kmeansCentroids(corpus: DataFrame, centroidStep: Int = 64,
+      maxIter: Int = 10): DataFrame = {
+    val step = if (centroidStep > 0) centroidStep else autoStep(corpus.count())
+    val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
+      l2norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    var cents = c.where(col("vec_id") % step === 0)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+      .localCheckpoint(true)
+    var assign = nearestCents(c, cents, "vec_id", "emb", "nrm", keep = 1)
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val sums = c.join(assign, Seq("vec_id"))
+        .select(col("cent_id"), posexplode(col("emb")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+      cents = sums.groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cent_emb"))
+        .withColumn("cent_nrm", l2norm(col("cent_emb")))
+        .localCheckpoint(true)
+      val next = nearestCents(c, cents, "vec_id", "emb", "nrm", keep = 1)
+        .localCheckpoint(true)
+      val moved = next.as("n").join(assign.as("o"), Seq("vec_id"))
+        .where(col("n.cent_id") =!= col("o.cent_id")).count()
+      assign = next
+      converged = moved == 0
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF ANN with the k-means coarse quantizer — identical downstream
+    * shape to [[ivfTopK]] (rank-capped lists, nProbe probes, id-only
+    * exact re-rank); only the centroid set differs. On clustered data
+    * the learned centroids align inverted lists with the real
+    * clusters, so the same nProbe buys materially higher recall
+    * (A/B pinned in PipelineOpsSpec; BENCH.md records the numbers). */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidStep: Int = 64, nProbe: Int = 4, maxList: Int = 100000,
+      maxIter: Int = 10): DataFrame = {
+    val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
+      l2norm(col("embedding")).as("nrm"))
+    ivfWithCentroids(c, queries, k,
+      kmeansCentroids(corpus, centroidStep, maxIter), nProbe, maxList)
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup), via

