@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.synth.DocGen
+
+/** LLM-pipeline family at realistic cardinality (r3 verdict next-#2):
+  * runMain graft.PipelineBench [nDocs] [nVecs] [cores].
+  *
+  * Stages the deterministic DocGen corpora to parquet once (untimed),
+  * then times each pipeline end-to-end by writing its OUTPUT to
+  * parquet (real work forced, counts read back untimed) and reports
+  * the scale-evidence numbers the 100 TB story needs:
+  *   - candidate-pairs vs all-pairs ratio (sub-quadratic or bust),
+  *   - occupancy-cap hit-rates (buckets over cap, rows dropped),
+  *   - the autoBits / autoStep values the adaptive sizing chose,
+  *   - planted-dup recall (exact + near dups are ground truth),
+  *   - wall time per pipeline at this cores level.
+  * Run at two local[N] levels (fresh JVM each) for the N-vs-4N
+  * scaling table in BENCH.md. */
+object PipelineBench {
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 1000000L
+    val nVecs = if (args.length > 1) args(1).toLong else 1000000L
+    val cores = if (args.length > 2) args(2).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JIT warmup
+
+    val docsDir = s"/tmp/graft_pipe_docs_$nDocs"
+    val embsDir = s"/tmp/graft_pipe_embs_$nVecs"
+    if (!new java.io.File(s"$docsDir/_SUCCESS").exists())
+      DocGen.documents(spark, nDocs).write.mode("overwrite").parquet(docsDir)
+    if (!new java.io.File(s"$embsDir/_SUCCESS").exists())
+      DocGen.embeddings(spark, nVecs).write.mode("overwrite").parquet(embsDir)
+    val docs = spark.read.parquet(docsDir)
+    val embs = spark.read.parquet(embsDir)
+
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def timedWrite(name: String, df: => DataFrame): Long = {
+      val dir = s"/tmp/graft_pipe_out_${name}_$nDocs"
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(dir)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.read.parquet(dir).count()
+      out += s""""$name":{"sec":$sec,"out_rows":$rows}"""
+      rows
+    }
+
+    // ---- exact dedup (hash-agg on sha256) ------------------------------
+    val nExact = timedWrite("exact_dedup", Dedup.exact(docs))
+
+    // ---- MinHash-LSH candidates + verification ratios ------------------
+    val allPairs = nDocs.toDouble * (nDocs - 1) / 2
+    val nCand = timedWrite("minhash_lsh",
+      Dedup.minhashLsh(docs, k = 32, bands = 8, maxBucket = 1000))
+    // occupancy-cap hit-rate (untimed diagnostics over the banded index)
+    val occ = Dedup.bandedSignatures(docs, 32, 8, 3, portable = false)
+      .groupBy("band", "bucket").count()
+    val capStats = occ.agg(
+      count(lit(1)).as("buckets"),
+      sum(when(col("count") > 1000, 1).otherwise(0)).as("over_cap"),
+      sum(when(col("count") > 1000, col("count")).otherwise(0)).as("rows_dropped"),
+      max(col("count")).as("max_occ")).head()
+    // planted-dup recall: every id in [0.8n, 0.9n) is an exact dup of
+    // id-0.8n → the pair (id-0.8n, id) must be a candidate (band
+    // signatures identical) unless one side sits in a capped bucket
+    val u = nDocs * 8 / 10; val d = nDocs * 9 / 10
+    val planted = spark.range(u, d)
+      .select((col("id") - u).as("doc_a"), col("id").as("doc_b"))
+      .where(col("doc_a") % 500 =!= 0) // boilerplate ids are their own class
+    val found = spark.read.parquet(s"/tmp/graft_pipe_out_minhash_lsh_$nDocs")
+      .join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+    val nPlanted = planted.count()
+    out += s""""minhash_stats":{"cand_ratio":${nCand / allPairs},"buckets":${capStats.getLong(0)},"over_cap":${capStats.getLong(1)},"rows_dropped":${capStats.getLong(2)},"max_occ":${capStats.getLong(3)},"planted_exact_pairs":$nPlanted,"planted_found":$found}"""
+
+    // ---- SimHash near-dups ---------------------------------------------
+    val nSim = timedWrite("simhash_neardups",
+      Dedup.simhashNearDups(docs, maxDist = 3, maxBucket = 2000))
+    out += s""""simhash_stats":{"cand_ratio":${nSim / allPairs}}"""
+
+    // ---- cosine self-join (embedding near-dups, adaptive bits) ---------
+    val bits = Similarity.autoBits(nVecs)
+    val nCos = timedWrite("cosine_selfjoin",
+      Similarity.cosineSelfJoin(embs, 0.9, bits = 0, tables = 16, maxBucket = 10000))
+    val allVecPairs = nVecs.toDouble * (nVecs - 1) / 2
+    // ground truth: clusterSize=10 ⇒ every same-cluster pair is a true
+    // near-dup (cos ≈ 0.99) ⇒ n/10 · 45 true pairs
+    val truePairs = nVecs / 10 * 45
+    out += s""""cosine_stats":{"auto_bits":$bits,"pair_ratio":${nCos / allVecPairs},"true_pairs":$truePairs,"recall_proxy":${nCos.toDouble / truePairs}}"""
+
+    // ---- IVF ANN (pivot + adaptive √n sizing) --------------------------
+    val step = Similarity.autoStep(nVecs)
+    timedWrite("ivf_topk",
+      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 100), 10,
+        centroidStep = 0, nProbe = 8))
+    out += s""""ivf_stats":{"auto_step":$step,"n_lists":${nVecs / step}}"""
+
+    // ---- k-means quantizer build (the learned-centroid path) -----------
+    val t0 = System.nanoTime()
+    val kc = Similarity.kmeansCentroids(embs, centroidStep = 0, maxIter = 3).count()
+    out += s""""kmeans_build":{"sec":${(System.nanoTime() - t0) / 1e9},"centroids":$kc}"""
+
+    println(s"""{"bench":"pipeline","n_docs":$nDocs,"n_vecs":$nVecs,"cores":$cores,${out.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -117,6 +117,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(inc.exists { case (a, b, _) => b - a == 40 })
   }
 
+  test("dedup candidate volume stays sub-quadratic at 50k docs with total planted-dup recall") {
+    // the r3 gap: every dedup number came from ~5k docs. DocGen plants
+    // 5k exact dups, 5k near dups and a boilerplate class in a 50k
+    // corpus (the PipelineBench generator at 10⁶ is this, scaled).
+    val n = 50000L
+    val docs = graft.synth.DocGen.documents(spark, n, partitions = 8).cache()
+    val pairs = Dedup.minhashLsh(docs, k = 32, bands = 8, maxBucket = 1000).cache()
+    val nCand = pairs.count()
+    val allPairs = n.toDouble * (n - 1) / 2
+    // sub-quadratic: candidates are ~1.6e-5 of all pairs (measured);
+    // 1e-4 leaves 6× headroom before the gate trips
+    assert(nCand / allPairs < 1e-4, s"candidate ratio ${nCand / allPairs}")
+    // total recall on planted exact dups (identical signatures can
+    // only be separated by a capped bucket; boilerplate ids excluded)
+    val u = n * 8 / 10; val d = n * 9 / 10
+    val planted = spark.range(u, d)
+      .select((col("id") - u).as("doc_a"), col("id").as("doc_b"))
+      .where(col("doc_a") % 500 =!= 0)
+    val found = pairs.join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(found == planted.count(), s"planted exact-dup recall $found/${planted.count()}")
+    pairs.unpersist(); docs.unpersist()
+  }
+
   test("jaccard: 1.0 for exact dups, high for near dup, used to verify LSH candidates") {
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
     val j = Dedup.jaccard(pairs, docs, shingleN = 2).collect()
