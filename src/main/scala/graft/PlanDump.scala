@@ -93,7 +93,20 @@ object PlanDump {
         Similarity.ivfTopK(e, e.where(col("vec_id") < 3), 5, centroidStep = 16, nProbe = 2)),
       ("cosine near-dup self-join WITHOUT forced broadcasts (candidate joins left to AQE)",
         "ids-only candidate set; embedding vectors join on ids, strategy chosen at runtime",
-        Similarity.cosineSelfJoin(e, 0.9, bits = 6, tables = 4)))
+        Similarity.cosineSelfJoin(e, 0.9, bits = 6, tables = 4)),
+      ("multi-level stat_by_index: ONE grouping-sets pass (Expand → partial agg → one exchange)",
+        "all prefix levels of the (l1, l2) index hierarchy share a single scan+shuffle; thunder re-aggregates once per level",
+        SeriesAlgebra.statByIndexMulti(Q.eventPoints(spark, sf),
+          hour(col("ts")), minute(col("ts")))),
+      ("incremental dedup: new-batch candidates against the persisted band index",
+        "only the new batch's text is shingled (pure projection); the join runs on compact (band, bucket) index rows — the old corpus is never re-read as text",
+        {
+          val idxRoot = Q.freshDir("graft_plandump_dedupidx")
+          val idx = new DedupIndex(spark, idxRoot, k = 32, bands = 8)
+          val docs = Tables.documents(spark, sf)
+          idx.addBatch(docs.where(col("doc_id") % 2 === 0), "pd_b0")
+          idx.newCandidates(docs.where(col("doc_id") % 2 === 1))
+        }))
 
     val body = sections.map { case (title, note, df) =>
       s"## $title\n\n$note.\n\n```\n${fmt(df).trim}\n```\n"
