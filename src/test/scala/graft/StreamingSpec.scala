@@ -44,6 +44,50 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streamed dedup indexing converges to the one-shot pipeline; restart replays are no-ops") {
+    val srcDir = Files.createTempDirectory("graft_sdx_src").toString
+    val idxRoot = Files.createTempDirectory("graft_sdx_idx").toString
+    val ckpt = Files.createTempDirectory("graft_sdx_ckpt").toString
+    val docs = (0 until 90).map { i =>
+      (i.toLong, s"shared template sentence number ${i % 60} with padding words")
+    }
+    docs.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      chunk.toDF("doc_id", "text").write.parquet(s"$srcDir/part$i")
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      val q = graft.streaming.StreamingDedup
+        .indexWriter(stream, idxRoot, "sdx_run", k = 32, bands = 16, shingleN = 2)
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(120000)
+    }
+    run()
+    val idx = new graft.operators.DedupIndex(spark, idxRoot,
+      k = 32, bands = 16, shingleN = 2)
+    val vAfter = idx.table.currentVersion
+    assert(vAfter >= 1, "expected multiple micro-batch appends")
+    val streamed = idx.candidatePairs().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = graft.operators.Dedup.minhashLsh(
+        docs.toDF("doc_id", "text"), k = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // cross-batch dup pairs present (i and i+60 live in different files)
+    assert(streamed.exists { case (a, b, _) => b - a == 60 })
+    // restart from the same checkpoint: AvailableNow re-run finds no new
+    // files; even a forced replay of a committed batch id is a lineage
+    // no-op — the index version must not move
+    run()
+    assert(!idx.addBatch(
+      docs.take(30).toDF("doc_id", "text"), "sdx_run/0"))
+    assert(idx.table.currentVersion == vAfter)
+    assert(idx.candidatePairs().count() == streamed.size)
+  }
+
   test("late out-of-order events merge exactly into already-committed tier windows") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
