@@ -88,9 +88,14 @@ object PipelineBench {
     out += s""""simhash_stats":{"cand_ratio":${nSim / allPairs}}"""
 
     // ---- cosine self-join (embedding near-dups, adaptive bits) ---------
-    val bits = Similarity.autoBits(nVecs)
+    // targetOccupancy 8 (not the query-path default 32): a SELF-join's
+    // candidate volume is tables·n·occupancy/2, so at 10⁶ vectors the
+    // tighter buckets trade ~0.8% recall (miss = (1−0.955^17)^8, and
+    // recall_proxy below MEASURES it) for 4× less shuffle — the same
+    // dial a 100 TB run turns
+    val bits = Similarity.autoBits(nVecs, targetOccupancy = 8)
     val nCos = timedWrite("cosine_selfjoin",
-      Similarity.cosineSelfJoin(embs, 0.9, bits = 0, tables = 16, maxBucket = 10000))
+      Similarity.cosineSelfJoin(embs, 0.9, bits = bits, tables = 8, maxBucket = 10000))
     val allVecPairs = nVecs.toDouble * (nVecs - 1) / 2
     // ground truth: clusterSize=10 ⇒ every same-cluster pair is a true
     // near-dup (cos ≈ 0.99) ⇒ n/10 · 45 true pairs
