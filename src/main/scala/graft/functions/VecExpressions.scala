@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native vector kernels for the similarity family.
@@ -105,8 +105,173 @@ object VecExpressions {
     override def prettyName: String = "vec_dot"
   }
 
+  /** Deterministic pseudo-random hyperplane for (table, bit): `dim`
+    * zero-mean components from a seeded SplitMix64. Shared by the
+    * literal-array form (`Similarity.plane`, which the DuckDB oracles
+    * embed verbatim) and the [[LshBuckets]] kernel — the two MUST stay
+    * the same function or the certification replay breaks. */
+  def plane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    var s = table.toLong * 0x9E3779B97F4A7C15L + bit * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
+    Array.fill(dim) {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) // ~uniform in [-1, 1]
+    }
+  }
+
+  /** All `tables` sign-LSH bucket ids of an embedding in ONE compiled
+    * kernel: returns `array<long>` of length `tables`, where entry t
+    * has bit b set iff `dot(emb, plane(t, b, dim)) >= 0`.
+    *
+    * Why this exists: the previous formulation projected
+    * `array(bucketFor(t=0), …, bucketFor(t=T−1))` where each bucket id
+    * was a sum of `bits` `when(vec_dot(emb, lit(plane)) >= 0, 1L<<b)`
+    * terms — at the adaptive sizing a 10⁶-vector corpus picks
+    * (8 tables × 17 bits = 136 dot products against 64-double literal
+    * arrays) the generated projection blows Janino's method-size limit,
+    * whole-stage codegen fails to compile, and the entire bucket stage
+    * runs INTERPRETED — measured at ~10× the stage cost at 1M vectors.
+    * This kernel emits one constant-size triple loop over a hyperplane
+    * table attached as a codegen REFERENCE object (not code), so the
+    * stage stays compiled at any (tables, bits, dim).
+    *
+    * Bit-exactness with the literal form it replaces (and therefore
+    * with the DuckDB literal-hyperplane oracle replays): the inner
+    * loop accumulates `emb[i] * plane[i]` in index order — the same
+    * IEEE sequence as `vec_dot(emb, lit(plane))` — and the sign test
+    * `acc >= 0` matches Column `>=`'s IEEE compare (−0.0 passes).
+    * Null semantics also match the composition: a null ELEMENT made
+    * every `vec_dot` NULL, so every `when` fell to `otherwise(0)` and
+    * every bucket id was 0 — here a null element in the shared prefix
+    * yields the same all-zero bucket array. Only a null CHILD is null. */
+  case class LshBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
+      extends UnaryExpression {
+
+    require(tables >= 1 && bits >= 1 && bits <= 63 && dim >= 1,
+      s"lsh_buckets: bad shape tables=$tables bits=$bits dim=$dim")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private def elemNullable: Boolean = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    private def elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"lsh_buckets needs array<float|double> input, got $other")
+      }
+
+    /** Flat [table][bit][dim] hyperplane components, built once per
+      * expression instance and shipped to codegen as a reference. */
+    @transient private lazy val planes: Array[Double] = {
+      val a = new Array[Double](tables * bits * dim)
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          System.arraycopy(plane(t, b, dim), 0, a, (t * bits + b) * dim, dim)
+          b += 1
+        }
+        t += 1
+      }
+      a
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      val res = new Array[Long](tables)
+      var hasNull = false
+      if (elemNullable) {
+        var i = 0
+        while (i < n && !hasNull) { hasNull = x.isNullAt(i); i += 1 }
+      }
+      if (!hasNull) {
+        val isF = elemIsFloat
+        var t = 0
+        while (t < tables) {
+          var bucket = 0L
+          var b = 0
+          while (b < bits) {
+            val off = (t * bits + b) * dim
+            var acc = 0.0
+            var i = 0
+            while (i < n) {
+              acc += (if (isF) x.getFloat(i).toDouble else x.getDouble(i)) * planes(off + i)
+              i += 1
+            }
+            if (acc >= 0.0) bucket |= (1L << b)
+            b += 1
+          }
+          res(t) = bucket
+          t += 1
+        }
+      }
+      new GenericArrayData(res)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+        val n = ctx.freshName("n")
+        val res = ctx.freshName("res")
+        val hasNull = ctx.freshName("hasNull")
+        val t = ctx.freshName("t")
+        val b = ctx.freshName("b")
+        val i = ctx.freshName("i")
+        val off = ctx.freshName("off")
+        val acc = ctx.freshName("acc")
+        val bucket = ctx.freshName("bucket")
+        val getX = if (elemIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+        val nullScan =
+          if (elemNullable)
+            s"""for (int $i = 0; $i < $n && !$hasNull; $i++) { $hasNull = $x.isNullAt($i); }"""
+          else ""
+        s"""
+           |int $n = java.lang.Math.min($x.numElements(), $dim);
+           |long[] $res = new long[$tables];
+           |boolean $hasNull = false;
+           |$nullScan
+           |if (!$hasNull) {
+           |  for (int $t = 0; $t < $tables; $t++) {
+           |    long $bucket = 0L;
+           |    for (int $b = 0; $b < $bits; $b++) {
+           |      int $off = ($t * $bits + $b) * $dim;
+           |      double $acc = 0.0;
+           |      for (int $i = 0; $i < $n; $i++) {
+           |        $acc += $getX * $planesRef[$off + $i];
+           |      }
+           |      if ($acc >= 0.0) $bucket |= (1L << $b);
+           |    }
+           |    $res[$t] = $bucket;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "lsh_buckets"
+  }
+
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def vec_dot(a: Column, b: Column): Column =
     column(VecDot(expression(a), expression(b)))
+
+  def lsh_buckets(emb: Column, tables: Int, bits: Int, dim: Int): Column =
+    column(LshBuckets(expression(emb), tables, bits, dim))
 }

@@ -65,36 +65,26 @@ object Similarity {
         math.log(2.0)).toInt))
 
   /** Deterministic pseudo-random hyperplane for (table, bit): `dim`
-    * zero-mean components from a seeded SplitMix64 — computed ONCE on
-    * the driver and embedded as an array literal, so the per-row work
-    * is a single zip_with dot product (the previous per-row
-    * hash-of-string formulation cost ~5 ms/vector at 72 planes).
-    * Public so the DuckDB certification oracle can embed the SAME
-    * constants and replay the bucketing bit-for-bit (empirically the
-    * smallest |projection| on the sf0.01 corpus is 2.5e-7 — nine
-    * orders above double ulp noise, so sign decisions are
-    * engine-portable). */
-  def plane(table: Int, bit: Int, dim: Int): Array[Double] = {
-    var s = table.toLong * 0x9E3779B97F4A7C15L + bit * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-    Array.fill(dim) {
-      s += 0x9E3779B97F4A7C15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble) // ~uniform in [-1, 1]
-    }
-  }
+    * zero-mean components from a seeded SplitMix64 (shared generator
+    * in [[graft.functions.VecExpressions.plane]]). Public so the
+    * DuckDB certification oracle can embed the SAME constants and
+    * replay the bucketing bit-for-bit (empirically the smallest
+    * |projection| on the sf0.01 corpus is 2.5e-7 — nine orders above
+    * double ulp noise, so sign decisions are engine-portable). */
+  def plane(table: Int, bit: Int, dim: Int): Array[Double] =
+    graft.functions.VecExpressions.plane(table, bit, dim)
 
-  /** Sign-LSH bucket id for one hash table: `bits` sign bits against
-    * literal hyperplanes. */
-  private def bucketFor(emb: Column, table: Int, bits: Int, dim: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val proj = graft.functions.VecExpressions.vec_dot(emb, lit(plane(table, b, dim)))
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** All-tables sign-LSH bucket ids as one `array<long>` column.
+    *
+    * One compiled [[graft.functions.VecExpressions.LshBuckets]] kernel
+    * rather than tables×bits literal-hyperplane `vec_dot`s: the literal
+    * composition blew Janino's method-size limit at the adaptive 1M
+    * sizing (8×17 = 136 dots) and dropped the whole bucket stage to
+    * interpreted evaluation (measured 619 s → see BENCH.md). Bit-exact
+    * with the literal form — the q_ann_lsh / q_cosine_neardups oracle
+    * rows and LshBucketsSpec pin it. */
+  private def bucketsFor(emb: Column, tables: Int, bits: Int, dim: Int): Column =
+    graft.functions.VecExpressions.lsh_buckets(emb, tables, bits, dim)
 
   /** ANN top-k via multi-table sign-LSH + exact re-rank.
     * `bits ≤ 0` → corpus-adaptive width via [[autoBits]]. */
@@ -107,12 +97,10 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       l2norm(col("embedding")).as("q_nrm"))
     val cBuckets = c.select(col("vec_id"), col("emb"), col("nrm"),
-      posexplode(array((0 until tables).map(t =>
-        bucketFor(col("emb"), t, useBits, dim)): _*)))
+      posexplode(bucketsFor(col("emb"), tables, useBits, dim)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val qBuckets = q.select(col("q_id"), col("q_emb"), col("q_nrm"),
-      posexplode(array((0 until tables).map(t =>
-        bucketFor(col("q_emb"), t, useBits, dim)): _*)))
+      posexplode(bucketsFor(col("q_emb"), tables, useBits, dim)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     // dedup multi-table collisions on IDS ONLY, then re-attach vectors:
     // the embedding arrays never ride a shuffle (the previous
@@ -335,8 +323,7 @@ object Similarity {
       l2norm(col("embedding")).as("nrm"))
     val wBucket = Window.partitionBy(col("table"), col("bucket"))
     val buckets = e.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t =>
-        bucketFor(col("emb"), t, useBits, dim)): _*)))
+      posexplode(bucketsFor(col("emb"), tables, useBits, dim)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
       .withColumn("occ", count(lit(1)).over(wBucket))
       .where(col("occ") <= maxBucket)

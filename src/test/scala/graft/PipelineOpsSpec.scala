@@ -387,6 +387,53 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("lsh_buckets kernel is bit-identical to the literal-hyperplane composition") {
+    import graft.functions.VecExpressions
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1))
+    }.toDF("id", "emb")
+    val tables = 8; val bits = 17; val dim = 64
+    // the exact composition the kernel replaced (and the form the
+    // DuckDB oracles replay with literal hyperplane lists)
+    def literalBucket(t: Int): org.apache.spark.sql.Column =
+      (0 until bits).map { b =>
+        val proj = VecExpressions.vec_dot(col("emb"), lit(Similarity.plane(t, b, dim)))
+        when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val got = rows.select(
+      VecExpressions.lsh_buckets(col("emb"), tables, bits, dim).as("k"),
+      array((0 until tables).map(literalBucket): _*).as("lit")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // double-element input agrees with itself across eval paths:
+    // interpreted (nullSafeEval) vs wholestage codegen
+    val dRows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(32)(rng.nextDouble() * 2 - 1))
+    }.toDF("id", "emb")
+    val expr = VecExpressions.LshBuckets(
+      org.apache.spark.sql.graft.bridge.expression(col("emb")), 4, 9, 32)
+    val viaDf = dRows.select(org.apache.spark.sql.graft.bridge.column(expr).as("k"))
+      .collect().map(_.getSeq[Long](0))
+    val interp = dRows.collect().map { r =>
+      val emb = r.getSeq[Double](1).toArray
+      (0 until 4).map { t =>
+        (0 until 9).foldLeft(0L) { (acc, b) =>
+          val p = Similarity.plane(t, b, 32)
+          val dot = emb.indices.foldLeft(0.0)((s, i) => s + emb(i) * p(i))
+          if (dot >= 0.0) acc | (1L << b) else acc
+        }
+      }
+    }
+    viaDf.zip(interp).foreach { case (a, b) => assert(a == b) }
+    // null-element semantics match the composition: all-zero buckets
+    val nRows = Seq((0L, Seq[java.lang.Double](1.0, null, 0.5))).toDF("id", "emb")
+    val nGot = nRows.select(VecExpressions.lsh_buckets(col("emb"), 3, 5, 3).as("k"))
+      .head().getSeq[Long](0)
+    assert(nGot == Seq(0L, 0L, 0L))
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   test("token counts") {
