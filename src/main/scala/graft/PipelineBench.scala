@@ -25,6 +25,10 @@ object PipelineBench {
     val nDocs = if (args.length > 0) args(0).toLong else 1000000L
     val nVecs = if (args.length > 1) args(1).toLong else 1000000L
     val cores = if (args.length > 2) args(2).toInt else 32
+    // optional 4th arg: comma-separated subset (e.g. "ivf,kmeans") for
+    // targeted re-measures after a change that touches only one family
+    val only: String => Boolean =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else (_ => true)
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -56,36 +60,40 @@ object PipelineBench {
     }
 
     // ---- exact dedup (hash-agg on sha256) ------------------------------
-    val nExact = timedWrite("exact_dedup", Dedup.exact(docs))
+    if (only("exact")) timedWrite("exact_dedup", Dedup.exact(docs))
 
     // ---- MinHash-LSH candidates + verification ratios ------------------
     val allPairs = nDocs.toDouble * (nDocs - 1) / 2
-    val nCand = timedWrite("minhash_lsh",
-      Dedup.minhashLsh(docs, k = 32, bands = 8, maxBucket = 1000))
-    // occupancy-cap hit-rate (untimed diagnostics over the banded index)
-    val occ = Dedup.bandedSignatures(docs, 32, 8, 3, portable = false)
-      .groupBy("band", "bucket").count()
-    val capStats = occ.agg(
-      count(lit(1)).as("buckets"),
-      sum(when(col("count") > 1000, 1).otherwise(0)).as("over_cap"),
-      sum(when(col("count") > 1000, col("count")).otherwise(0)).as("rows_dropped"),
-      max(col("count")).as("max_occ")).head()
-    // planted-dup recall: every id in [0.8n, 0.9n) is an exact dup of
-    // id-0.8n → the pair (id-0.8n, id) must be a candidate (band
-    // signatures identical) unless one side sits in a capped bucket
-    val u = nDocs * 8 / 10; val d = nDocs * 9 / 10
-    val planted = spark.range(u, d)
-      .select((col("id") - u).as("doc_a"), col("id").as("doc_b"))
-      .where(col("doc_a") % 500 =!= 0) // boilerplate ids are their own class
-    val found = spark.read.parquet(s"/tmp/graft_pipe_out_minhash_lsh_$nDocs")
-      .join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
-    val nPlanted = planted.count()
-    out += s""""minhash_stats":{"cand_ratio":${nCand / allPairs},"buckets":${capStats.getLong(0)},"over_cap":${capStats.getLong(1)},"rows_dropped":${capStats.getLong(2)},"max_occ":${capStats.getLong(3)},"planted_exact_pairs":$nPlanted,"planted_found":$found}"""
+    if (only("minhash")) {
+      val nCand = timedWrite("minhash_lsh",
+        Dedup.minhashLsh(docs, k = 32, bands = 8, maxBucket = 1000))
+      // occupancy-cap hit-rate (untimed diagnostics over the banded index)
+      val occ = Dedup.bandedSignatures(docs, 32, 8, 3, portable = false)
+        .groupBy("band", "bucket").count()
+      val capStats = occ.agg(
+        count(lit(1)).as("buckets"),
+        sum(when(col("count") > 1000, 1).otherwise(0)).as("over_cap"),
+        sum(when(col("count") > 1000, col("count")).otherwise(0)).as("rows_dropped"),
+        max(col("count")).as("max_occ")).head()
+      // planted-dup recall: every id in [0.8n, 0.9n) is an exact dup of
+      // id-0.8n → the pair (id-0.8n, id) must be a candidate (band
+      // signatures identical) unless one side sits in a capped bucket
+      val u = nDocs * 8 / 10; val d = nDocs * 9 / 10
+      val planted = spark.range(u, d)
+        .select((col("id") - u).as("doc_a"), col("id").as("doc_b"))
+        .where(col("doc_a") % 500 =!= 0) // boilerplate ids are their own class
+      val found = spark.read.parquet(s"/tmp/graft_pipe_out_minhash_lsh_$nDocs")
+        .join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+      val nPlanted = planted.count()
+      out += s""""minhash_stats":{"cand_ratio":${nCand / allPairs},"buckets":${capStats.getLong(0)},"over_cap":${capStats.getLong(1)},"rows_dropped":${capStats.getLong(2)},"max_occ":${capStats.getLong(3)},"planted_exact_pairs":$nPlanted,"planted_found":$found}"""
+    }
 
     // ---- SimHash near-dups ---------------------------------------------
-    val nSim = timedWrite("simhash_neardups",
-      Dedup.simhashNearDups(docs, maxDist = 3, maxBucket = 2000))
-    out += s""""simhash_stats":{"cand_ratio":${nSim / allPairs}}"""
+    if (only("simhash")) {
+      val nSim = timedWrite("simhash_neardups",
+        Dedup.simhashNearDups(docs, maxDist = 3, maxBucket = 2000))
+      out += s""""simhash_stats":{"cand_ratio":${nSim / allPairs}}"""
+    }
 
     // ---- cosine self-join (embedding near-dups, adaptive bits) ---------
     // targetOccupancy 8 (not the query-path default 32): a SELF-join's
@@ -93,26 +101,32 @@ object PipelineBench {
     // tighter buckets trade ~0.8% recall (miss = (1−0.955^17)^8, and
     // recall_proxy below MEASURES it) for 4× less shuffle — the same
     // dial a 100 TB run turns
-    val bits = Similarity.autoBits(nVecs, targetOccupancy = 8)
-    val nCos = timedWrite("cosine_selfjoin",
-      Similarity.cosineSelfJoin(embs, 0.9, bits = bits, tables = 8, maxBucket = 10000))
-    val allVecPairs = nVecs.toDouble * (nVecs - 1) / 2
-    // ground truth: clusterSize=10 ⇒ every same-cluster pair is a true
-    // near-dup (cos ≈ 0.99) ⇒ n/10 · 45 true pairs
-    val truePairs = nVecs / 10 * 45
-    out += s""""cosine_stats":{"auto_bits":$bits,"pair_ratio":${nCos / allVecPairs},"true_pairs":$truePairs,"recall_proxy":${nCos.toDouble / truePairs}}"""
+    if (only("cosine")) {
+      val bits = Similarity.autoBits(nVecs, targetOccupancy = 8)
+      val nCos = timedWrite("cosine_selfjoin",
+        Similarity.cosineSelfJoin(embs, 0.9, bits = bits, tables = 8, maxBucket = 10000))
+      val allVecPairs = nVecs.toDouble * (nVecs - 1) / 2
+      // ground truth: clusterSize=10 ⇒ every same-cluster pair is a true
+      // near-dup (cos ≈ 0.99) ⇒ n/10 · 45 true pairs
+      val truePairs = nVecs / 10 * 45
+      out += s""""cosine_stats":{"auto_bits":$bits,"pair_ratio":${nCos / allVecPairs},"true_pairs":$truePairs,"recall_proxy":${nCos.toDouble / truePairs}}"""
+    }
 
     // ---- IVF ANN (pivot + adaptive √n sizing) --------------------------
-    val step = Similarity.autoStep(nVecs)
-    timedWrite("ivf_topk",
-      Similarity.ivfTopK(embs, embs.where(col("vec_id") < 100), 10,
-        centroidStep = 0, nProbe = 8))
-    out += s""""ivf_stats":{"auto_step":$step,"n_lists":${nVecs / step}}"""
+    if (only("ivf")) {
+      val step = Similarity.autoStep(nVecs)
+      timedWrite("ivf_topk",
+        Similarity.ivfTopK(embs, embs.where(col("vec_id") < 100), 10,
+          centroidStep = 0, nProbe = 8))
+      out += s""""ivf_stats":{"auto_step":$step,"n_lists":${nVecs / step}}"""
+    }
 
     // ---- k-means quantizer build (the learned-centroid path) -----------
-    val t0 = System.nanoTime()
-    val kc = Similarity.kmeansCentroids(embs, centroidStep = 0, maxIter = 3).count()
-    out += s""""kmeans_build":{"sec":${(System.nanoTime() - t0) / 1e9},"centroids":$kc}"""
+    if (only("kmeans")) {
+      val t0 = System.nanoTime()
+      val kc = Similarity.kmeansCentroids(embs, centroidStep = 0, maxIter = 3).count()
+      out += s""""kmeans_build":{"sec":${(System.nanoTime() - t0) / 1e9},"centroids":$kc}"""
+    }
 
     println(s"""{"bench":"pipeline","n_docs":$nDocs,"n_vecs":$nVecs,"cores":$cores,${out.mkString(",")}}""")
     spark.stop()

@@ -89,7 +89,7 @@ object PlanDump {
         "collect_list agg → fft_coeffs expression → posexplode; no per-bin rescans",
         SeriesOps.fftSpectrum(Q.eventPoints(spark, sf))),
       ("IVF ANN top-k: bounded pivot broadcast, scan-local assignment, id-only candidate flow",
-        "pivot count ≈ √n (adaptive), inverted lists occupancy-capped; the map-side WindowGroupLimit below the argmax Exchange collapses the n·C assignment scores to ONE row per vector before any shuffle (all of a vector's pivot scores are co-located by the broadcast join); vectors re-attach via AQE-chosen join",
+        "pivot count ≈ √n (adaptive), inverted lists occupancy-capped; assignment is ONE compiled cent_topk kernel in the corpus scan (n rows in, n out — the centroid table rides the task binary as a codegen reference object), replacing the former broadcast-join + rank-window shape that materialized and locally sorted n·C scored rows (10¹³⁺ at a 10⁹-vector corpus) before WindowGroupLimit trimmed them; vectors re-attach via AQE-chosen join",
         Similarity.ivfTopK(e, e.where(col("vec_id") < 3), 5, centroidStep = 16, nProbe = 2)),
       ("cosine near-dup self-join WITHOUT forced broadcasts (candidate joins left to AQE)",
         "ids-only candidate set; embedding vectors join on ids, strategy chosen at runtime",

@@ -267,6 +267,204 @@ object VecExpressions {
     override def prettyName: String = "lsh_buckets"
   }
 
+  /** Top-`keep` max-cosine centroids of one embedding in ONE compiled
+    * kernel: returns `array<long>` of the best `keep` centroid ids in
+    * rank order (cosine desc, cent_id asc on ties).
+    *
+    * Why this exists: IVF assignment (and every Lloyd's round of the
+    * k-means quantizer) previously scored via
+    * `side.join(broadcast(cents))` + `row_number().over(partitionBy(id)
+    * .orderBy(cs desc, cent_id))` — n·C scored rows materialized and
+    * locally sorted before Spark's map-side WindowGroupLimit trims them
+    * (10⁹ rows at 10⁶ vectors × 10³ lists; 10¹³⁺ at 10⁹ vectors — a
+    * genuine scale-killer even though nothing shuffles). This kernel
+    * folds the whole argmax/top-keep into the corpus scan: n rows in,
+    * n rows out, no join, no sort. The centroid table (ids, flattened
+    * embeddings, norms — the same √n-bounded set the broadcast carried)
+    * rides codegen as REFERENCE objects, so generated code size is
+    * constant in C·dim.
+    *
+    * Bit-exactness with the composition it replaces (and therefore with
+    * the q_ann_ivf DuckDB replay): per centroid it computes
+    * `vec_dot(emb, cent_emb) / (nrm * cent_nrm)` with the identical
+    * IEEE sequence — index-order dot over the min-clamped shared
+    * prefix, `nrm = sqrt(index-order self-dot over the FULL embedding)`
+    * (Math.sqrt is correctly rounded, so inlining `l2norm` is exact) —
+    * and ranks with Spark's double ordering (`x == y` first, so
+    * −0.0 == 0.0; else Double.compare, so NaN sorts greatest), ties to
+    * the smaller cent_id, exactly `orderBy(cs.desc, cent_id)`.
+    * Null semantics: a null ELEMENT made every cosine NULL, so the
+    * window ranked all-null rows by cent_id alone — here the same rows
+    * yield the first `keep` centroid ids. Only a null CHILD is null.
+    * One deliberate divergence: on a zero-NORM vector the composed
+    * form's `Divide` raises ANSI DIVIDE_BY_ZERO, while the kernel
+    * keeps plain IEEE arithmetic (NaN cosines, ranked NaN-greatest
+    * exactly like Spark's double sort order) — a degenerate row
+    * degrades gracefully instead of failing the whole 10⁹-row job. */
+  case class CentTopK(child: Expression, centIds: Array[Long],
+      centEmbs: Array[Double], centNrms: Array[Double], dim: Int, keep: Int)
+      extends UnaryExpression {
+
+    require(dim >= 1 && keep >= 1 && centIds.nonEmpty &&
+      centEmbs.length == centIds.length * dim && centNrms.length == centIds.length,
+      s"cent_topk: bad shape C=${centIds.length} dim=$dim keep=$keep")
+
+    private def nCents: Int = centIds.length
+    private def nKeep: Int = math.min(keep, nCents)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private def elemNullable: Boolean = child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    private def elemIsFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"cent_topk needs array<float|double> input, got $other")
+      }
+
+    override def nullSafeEval(v: Any): Any = {
+      val x = v.asInstanceOf[ArrayData]
+      val len = x.numElements()
+      val n = math.min(len, dim)
+      val k = nKeep
+      var hasNull = false
+      if (elemNullable) {
+        var i = 0
+        while (i < len && !hasNull) { hasNull = x.isNullAt(i); i += 1 }
+      }
+      val res = new Array[Long](k)
+      if (hasNull) {
+        // all cosines NULL in the composed form → rank by cent_id alone
+        var j = 0
+        while (j < k) { res(j) = centIds(j); j += 1 }
+      } else {
+        val isF = elemIsFloat
+        // nrm over the FULL embedding, same as l2norm(emb)
+        var sq = 0.0
+        var i = 0
+        while (i < len) {
+          val xv = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+          sq += xv * xv
+          i += 1
+        }
+        val nrm = math.sqrt(sq)
+        val topCs = new Array[Double](k)
+        var filled = 0
+        var c = 0
+        while (c < nCents) {
+          val off = c * dim
+          var dot = 0.0
+          i = 0
+          while (i < n) {
+            dot += (if (isF) x.getFloat(i).toDouble else x.getDouble(i)) * centEmbs(off + i)
+            i += 1
+          }
+          val cs = dot / (nrm * centNrms(c))
+          // first insertion slot: strictly better than the holder
+          // (Spark double order; equal cs keeps the earlier cent_id)
+          var j = 0
+          while (j < filled &&
+            !(if (cs == topCs(j)) false else java.lang.Double.compare(cs, topCs(j)) > 0)) j += 1
+          if (j < k) {
+            var m = math.min(filled, k - 1)
+            while (m > j) { topCs(m) = topCs(m - 1); res(m) = res(m - 1); m -= 1 }
+            topCs(j) = cs
+            res(j) = centIds(c)
+            if (filled < k) filled += 1
+          }
+          c += 1
+        }
+      }
+      new GenericArrayData(res)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, x => {
+        val idsRef = ctx.addReferenceObj("centIds", centIds, "long[]")
+        val embsRef = ctx.addReferenceObj("centEmbs", centEmbs, "double[]")
+        val nrmsRef = ctx.addReferenceObj("centNrms", centNrms, "double[]")
+        val len = ctx.freshName("len")
+        val n = ctx.freshName("n")
+        val k = ctx.freshName("k")
+        val hasNull = ctx.freshName("hasNull")
+        val res = ctx.freshName("res")
+        val topCs = ctx.freshName("topCs")
+        val filled = ctx.freshName("filled")
+        val sq = ctx.freshName("sq")
+        val nrm = ctx.freshName("nrm")
+        val c = ctx.freshName("c")
+        val off = ctx.freshName("off")
+        val dot = ctx.freshName("dot")
+        val cs = ctx.freshName("cs")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val m = ctx.freshName("m")
+        val xv = ctx.freshName("xv")
+        val getX = if (elemIsFloat) s"(double) $x.getFloat($i)" else s"$x.getDouble($i)"
+        val nullScan =
+          if (elemNullable)
+            s"""for (int $i = 0; $i < $len && !$hasNull; $i++) { $hasNull = $x.isNullAt($i); }"""
+          else ""
+        s"""
+           |int $len = $x.numElements();
+           |int $n = java.lang.Math.min($len, $dim);
+           |int $k = $nKeep;
+           |boolean $hasNull = false;
+           |$nullScan
+           |long[] $res = new long[$k];
+           |if ($hasNull) {
+           |  for (int $j = 0; $j < $k; $j++) { $res[$j] = $idsRef[$j]; }
+           |} else {
+           |  double $sq = 0.0;
+           |  for (int $i = 0; $i < $len; $i++) {
+           |    double $xv = $getX;
+           |    $sq += $xv * $xv;
+           |  }
+           |  double $nrm = java.lang.Math.sqrt($sq);
+           |  double[] $topCs = new double[$k];
+           |  int $filled = 0;
+           |  for (int $c = 0; $c < $nCents; $c++) {
+           |    int $off = $c * $dim;
+           |    double $dot = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $dot += $getX * $embsRef[$off + $i];
+           |    }
+           |    double $cs = $dot / ($nrm * $nrmsRef[$c]);
+           |    int $j = 0;
+           |    while ($j < $filled &&
+           |        !(($cs == $topCs[$j]) ? false : java.lang.Double.compare($cs, $topCs[$j]) > 0)) {
+           |      $j++;
+           |    }
+           |    if ($j < $k) {
+           |      for (int $m = java.lang.Math.min($filled, $k - 1); $m > $j; $m--) {
+           |        $topCs[$m] = $topCs[$m - 1];
+           |        $res[$m] = $res[$m - 1];
+           |      }
+           |      $topCs[$j] = $cs;
+           |      $res[$j] = $idsRef[$c];
+           |      if ($filled < $k) { $filled++; }
+           |    }
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def prettyName: String = "cent_topk"
+  }
+
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def vec_dot(a: Column, b: Column): Column =
@@ -274,4 +472,8 @@ object VecExpressions {
 
   def lsh_buckets(emb: Column, tables: Int, bits: Int, dim: Int): Column =
     column(LshBuckets(expression(emb), tables, bits, dim))
+
+  def cent_topk(emb: Column, centIds: Array[Long], centEmbs: Array[Double],
+      centNrms: Array[Double], dim: Int, keep: Int): Column =
+    column(CentTopK(expression(emb), centIds, centEmbs, centNrms, dim, keep))
 }

@@ -171,19 +171,43 @@ object Similarity {
     ivfWithCentroids(c, queries, k, cents, nProbe, maxList)
   }
 
-  /** Per-row argmax/top-`keep` centroid assignment: broadcast the
-    * (bounded, ≈√n) centroid set, score scan-locally, keep the best
-    * `keep` per id — Spark 4's map-side WindowGroupLimit collapses the
-    * rank-≤-keep window BEFORE any exchange, so n·C scores shuffle as
-    * n rows (PLANS.md §IVF). */
+  /** Per-row argmax/top-`keep` centroid assignment as ONE compiled
+    * scan-local kernel ([[graft.functions.VecExpressions.CentTopK]]):
+    * n rows in, n·keep (id, cent_id) rows out — no join, no window.
+    *
+    * The previous formulation (`join(broadcast(cents))` + a
+    * rank-≤-keep window) never shuffled the scores, but it still
+    * MATERIALIZED and locally sorted n·C scored rows before the
+    * map-side WindowGroupLimit trimmed them — 10⁹ rows at 10⁶ vectors
+    * × 10³ lists, 10¹³⁺ at a 10⁹-vector corpus: the dominant IVF
+    * build cost and a genuine 100×-scale-up killer. The kernel folds
+    * the argmax into the scan itself. The centroid table is collected
+    * once on the driver — the SAME √n-bounded (≈16 MB at 10⁹ × 64-d)
+    * set the broadcast already shipped — and rides the task binary as
+    * codegen reference objects. Output is bit-identical to the
+    * composed form (same IEEE cosine sequence, same desc/NaN/tie
+    * order — pinned by PipelineOpsSpec "cent_topk kernel"), so the
+    * q_ann_ivf certification replay is unchanged. */
   private def nearestCents(side: DataFrame, cents: DataFrame, idCol: String,
-      embCol: String, nrmCol: String, keep: Int): DataFrame = {
-    val scored = side.join(broadcast(cents))
-      .select(col(idCol), col("cent_id"),
-        cosine(col(embCol), col("cent_emb"), col(nrmCol), col("cent_nrm")).as("cs"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cs").desc, col("cent_id"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= keep)
-      .select(col(idCol), col("cent_id"))
+      embCol: String, keep: Int): DataFrame = {
+    val rows = cents.select(col("cent_id").cast("long"), col("cent_emb"),
+      col("cent_nrm").cast("double")).collect()
+      .sortBy(_.getLong(0))
+    require(rows.nonEmpty, "nearestCents: empty centroid set")
+    val dim = rows.head.getSeq[Any](1).length
+    val ids = rows.map(_.getLong(0))
+    val nrms = rows.map(_.getDouble(2))
+    val embs = new Array[Double](rows.length * dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      r.getSeq[Any](1).iterator.zipWithIndex.foreach {
+        case (v: java.lang.Float, i)  => embs(c * dim + i) = v.toDouble
+        case (v: java.lang.Double, i) => embs(c * dim + i) = v
+        case (v, _) => throw new IllegalArgumentException(s"cent_emb element $v")
+      }
+    }
+    side.select(col(idCol),
+      explode(graft.functions.VecExpressions.cent_topk(
+        col(embCol), ids, embs, nrms, dim, keep)).as("cent_id"))
   }
 
   /** IVF core shared by the pivot and k-means quantizers: assignment,
@@ -192,9 +216,9 @@ object Similarity {
     * cent_emb, cent_nrm). */
   private def ivfWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int, maxList: Int): DataFrame = {
-    def nearest(side: DataFrame, idCol: String, embCol: String, nrmCol: String,
+    def nearest(side: DataFrame, idCol: String, embCol: String,
         keep: Int): DataFrame =
-      nearestCents(side, cents, idCol, embCol, nrmCol, keep)
+      nearestCents(side, cents, idCol, embCol, keep)
     // Hot-list guard: unlike the LSH bucket caps (where a dropped
     // (table, bucket) is backed up by the other hash tables), a
     // vector's single argmax assignment is its ONLY path into the
@@ -205,13 +229,13 @@ object Similarity {
     // per-query candidate volume at maxList, and degrades recall
     // gracefully for the truncated tail instead of totally.
     val wList = Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))
-    val assign = nearest(c, "vec_id", "emb", "nrm", keep = 1)
+    val assign = nearest(c, "vec_id", "emb", keep = 1)
       .withColumn("occ", row_number().over(wList))
       .where(col("occ") <= maxList)
       .drop("occ")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       l2norm(col("embedding")).as("q_nrm"))
-    val probes = nearest(q, "q_id", "q_emb", "q_nrm", keep = nProbe)
+    val probes = nearest(q, "q_id", "q_emb", keep = nProbe)
     val candIds = assign.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
@@ -258,7 +282,7 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
       .localCheckpoint(true)
-    var assign = nearestCents(c, cents, "vec_id", "emb", "nrm", keep = 1)
+    var assign = nearestCents(c, cents, "vec_id", "emb", keep = 1)
       .localCheckpoint(true)
     var i = 0
     var converged = false
@@ -272,7 +296,7 @@ object Similarity {
           x => x.getField("m")).as("cent_emb"))
         .withColumn("cent_nrm", l2norm(col("cent_emb")))
         .localCheckpoint(true)
-      val next = nearestCents(c, cents, "vec_id", "emb", "nrm", keep = 1)
+      val next = nearestCents(c, cents, "vec_id", "emb", keep = 1)
         .localCheckpoint(true)
       val moved = next.as("n").join(assign.as("o"), Seq("vec_id"))
         .where(col("n.cent_id") =!= col("o.cent_id")).count()

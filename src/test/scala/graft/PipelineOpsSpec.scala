@@ -434,6 +434,88 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(nGot == Seq(0L, 0L, 0L))
   }
 
+  test("cent_topk kernel is bit-identical to the broadcast-join + window composition") {
+    import graft.functions.VecExpressions
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(23)
+    val dim = 32
+    // NOTE: no zero vector here — the COMPOSED form's division raises
+    // ANSI DIVIDE_BY_ZERO on a zero norm, while the kernel keeps plain
+    // IEEE semantics (NaN cosines, ranked NaN-greatest like Spark's
+    // double order); the degenerate rows are pinned against the hand
+    // reference below instead
+    val side = (0 until 200).map { i =>
+      (i.toLong, Array.fill(dim)(rng.nextFloat() * 2 - 1).toSeq.map(java.lang.Float.valueOf))
+    }.toDF("id", "emb")
+    val degenerate = Seq(
+      (900L, Seq.fill(dim)(java.lang.Float.valueOf(0f))),
+      (901L, java.lang.Float.valueOf(1f) +: Seq.fill(dim - 1)(
+        null.asInstanceOf[java.lang.Float])))
+      .toDF("id", "emb")
+    // centroid ids 3,7,11,…; ids 3 and 7 share ONE embedding so every
+    // row ties on them and the cent_id tie-break is exercised
+    val shared = Array.fill(dim)(rng.nextFloat() * 2 - 1)
+    val centRows = (0 until 25).map { c =>
+      ((c * 4 + 3).toLong, if (c < 2) shared else Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    }
+    val cents = centRows.toDF("cent_id", "cent_emb")
+      .withColumn("cent_nrm", Similarity.l2norm(col("cent_emb")))
+    val centCollected = cents.collect().sortBy(_.getLong(0))
+    val ids = centCollected.map(_.getLong(0))
+    val nrms = centCollected.map(_.getDouble(2))
+    val embs = centCollected.flatMap(_.getSeq[Float](1).map(_.toDouble))
+    for (keep <- Seq(1, 4)) {
+      // the exact composition the kernel replaced
+      val scored = side.join(broadcast(cents))
+        .select(col("id"), col("cent_id"),
+          (VecExpressions.vec_dot(col("emb"), col("cent_emb")) /
+            (Similarity.l2norm(col("emb")) * col("cent_nrm"))).as("cs"))
+      val w = Window.partitionBy(col("id")).orderBy(col("cs").desc, col("cent_id"))
+      val composed = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= keep)
+        .select(col("id"), col("rn"), col("cent_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val viaKernel = side.select(col("id"),
+          posexplode(VecExpressions.cent_topk(col("emb"), ids, embs, nrms, dim, keep)))
+        .select(col("id"), (col("pos") + 1).as("rn"), col("col").as("cent_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaKernel == composed, s"keep=$keep")
+      // independent hand-computed reference (full sort, not the
+      // kernel's insertion loop) pins rank ORDER within each row,
+      // including the degenerate zero-norm / null-element rows
+      val handSide = side.union(degenerate)
+      val handRef = handSide.collect().map { r =>
+        val id = r.getLong(0)
+        val embSeq = r.getSeq[java.lang.Float](1)
+        if (embSeq.exists(_ == null)) (id, ids.take(keep).toSeq)
+        else {
+          val e = embSeq.map(_.toDouble).toArray
+          var sq = 0.0
+          e.foreach(v => sq += v * v)
+          val nrm = math.sqrt(sq)
+          val n = math.min(e.length, dim)
+          val scoredRow = ids.indices.map { c =>
+            var dot = 0.0
+            var i = 0
+            while (i < n) { dot += e(i) * embs(c * dim + i); i += 1 }
+            (dot / (nrm * nrms(c)), ids(c))
+          }
+          val ord = new Ordering[(Double, Long)] {
+            def compare(a: (Double, Long), b: (Double, Long)): Int = {
+              val c1 = if (a._1 == b._1) 0 else -java.lang.Double.compare(a._1, b._1)
+              if (c1 != 0) c1 else java.lang.Long.compare(a._2, b._2)
+            }
+          }
+          (id, scoredRow.sorted(ord).take(keep).map(_._2))
+        }
+      }.sortBy(_._1)
+      val viaDf = handSide.select(col("id"),
+          VecExpressions.cent_topk(col("emb"), ids, embs, nrms, dim, keep).as("k"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      viaDf.zip(handRef).foreach { case (a, b) => assert(a == b, s"keep=$keep") }
+    }
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   test("token counts") {
