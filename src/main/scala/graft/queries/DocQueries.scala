@@ -100,6 +100,30 @@ object DocQueries extends QuerySet {
       idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === 1), "qdi_batch1")
       ordered(idx.candidatePairs())
     }),
+    // STREAMING dedup indexing (StreamingDedup): the corpus replayed
+    // as a bounded file stream in ≥3 micro-batches, each appended to
+    // the persistent band index via foreachBatch with runId/batchId
+    // lineage. candidatePairs is a pure function of the index ROW SET
+    // (order-insensitive, so no mtime pinning needed) — the streamed
+    // index must equal the ONE-SHOT minhashLsh pipeline; the oracle
+    // IS q_minhash_lsh's oracle, same as q_dedup_incremental.
+    "q_streaming_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = freshDir(s"graft_qsd_${math.abs(dir.hashCode).toString}")
+      (0 until 3).foreach { i =>
+        docs.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.StreamingDedup
+        .indexWriter(stream, s"$base/idx", "qsd_run", portable = true)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      val idx = new DedupIndex(s, s"$base/idx", k = 32, bands = 8, portable = true)
+      ordered(idx.candidatePairs())
+    }),
     // certified: the portable md5-nibble fingerprint lets the oracle
     // replay every per-bit token majority, the chunk pigeonhole, the
     // occupancy cap and the exact hamming verification
@@ -321,6 +345,7 @@ object DocQueries extends QuerySet {
     // incremental index ≡ one-shot pipeline: same oracle, verbatim —
     // the strongest statement batch maintenance can make
     "q_dedup_incremental" -> minhashLshOracle,
+    "q_streaming_dedup" -> minhashLshOracle,
     // MATERIALIZED is load-bearing on cand/pr/e: DuckDB inlines plain
     // CTEs per reference, and inside WITH RECURSIVE the closure step
     // would otherwise re-evaluate the candidate generation every

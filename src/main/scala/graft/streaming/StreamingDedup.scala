@@ -22,12 +22,12 @@ object StreamingDedup {
     * (doc_id, text) to the DedupIndex at `root`. */
   def indexWriter(docs: DataFrame, root: String, runId: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      nBuckets: Int = 16): DataStreamWriter[Row] = {
+      nBuckets: Int = 16, portable: Boolean = false): DataStreamWriter[Row] = {
     docs.writeStream
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val idx = new DedupIndex(batch.sparkSession, root, k, bands,
-          shingleN, portable = false, nBuckets)
+          shingleN, portable, nBuckets)
         idx.addBatch(batch, s"$runId/$batchId")
         ()
       }
