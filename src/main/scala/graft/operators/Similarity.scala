@@ -188,12 +188,16 @@ object Similarity {
     * composed form (same IEEE cosine sequence, same desc/NaN/tie
     * order — pinned by PipelineOpsSpec "cent_topk kernel"), so the
     * q_ann_ivf certification replay is unchanged. */
-  private def nearestCents(side: DataFrame, cents: DataFrame, idCol: String,
-      embCol: String, keep: Int): DataFrame = {
+  /** Driver-side materialization of a (bounded, ≈√n) centroid set as
+    * the flat arrays [[graft.functions.VecExpressions.CentTopK]]
+    * carries: (sorted cent_ids, flattened row-major embeddings as
+    * exact doubles, norms, dim). The same data a `broadcast(cents)`
+    * already shipped through the driver. */
+  private def collectCents(cents: DataFrame): (Array[Long], Array[Double], Array[Double], Int) = {
     val rows = cents.select(col("cent_id").cast("long"), col("cent_emb"),
       col("cent_nrm").cast("double")).collect()
       .sortBy(_.getLong(0))
-    require(rows.nonEmpty, "nearestCents: empty centroid set")
+    require(rows.nonEmpty, "collectCents: empty centroid set")
     val dim = rows.head.getSeq[Any](1).length
     val ids = rows.map(_.getLong(0))
     val nrms = rows.map(_.getDouble(2))
@@ -205,6 +209,12 @@ object Similarity {
         case (v, _) => throw new IllegalArgumentException(s"cent_emb element $v")
       }
     }
+    (ids, embs, nrms, dim)
+  }
+
+  private def nearestCents(side: DataFrame, cents: DataFrame, idCol: String,
+      embCol: String, keep: Int): DataFrame = {
+    val (ids, embs, nrms, dim) = collectCents(cents)
     side.select(col(idCol),
       explode(graft.functions.VecExpressions.cent_topk(
         col(embCol), ids, embs, nrms, dim, keep)).as("cent_id"))
@@ -282,13 +292,28 @@ object Similarity {
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
       .localCheckpoint(true)
-    var assign = nearestCents(c, cents, "vec_id", "emb", keep = 1)
-      .localCheckpoint(true)
+    // One compiled cent_topk pass per round, materialized as
+    // (vec_id, emb, cent_id) via eager localCheckpoint: the update agg
+    // reads cent_id as DATA next to emb (zero exchanges before the
+    // partial agg — the former `c.join(assign)` dragged the embedding
+    // arrays through a shuffle every round, ≈256 GB/round at 10⁹ ×
+    // 64-d; checkpoint storage is sequential local I/O instead), and
+    // the materialization barrier also keeps the optimizer from
+    // inlining the kernel ABOVE the posexplode (CollapseProject would
+    // re-evaluate it once per exploded ELEMENT — measured 64× the
+    // round cost; the CLAUDE.md staged-signature class).
+    def assignedFrame(arrays: (Array[Long], Array[Double], Array[Double], Int)): DataFrame = {
+      val (ids, embs, nrms, dimC) = arrays
+      c.select(col("vec_id"), col("emb"),
+        element_at(graft.functions.VecExpressions.cent_topk(
+          col("emb"), ids, embs, nrms, dimC, 1), 1).as("cent_id"))
+        .localCheckpoint(true)
+    }
+    var assigned = assignedFrame(collectCents(cents))
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
-      val sums = c.join(assign, Seq("vec_id"))
-        .select(col("cent_id"), posexplode(col("emb")))
+      val sums = assigned.select(col("cent_id"), posexplode(col("emb")))
         .groupBy(col("cent_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
       cents = sums.groupBy(col("cent_id"))
@@ -296,11 +321,11 @@ object Similarity {
           x => x.getField("m")).as("cent_emb"))
         .withColumn("cent_nrm", l2norm(col("cent_emb")))
         .localCheckpoint(true)
-      val next = nearestCents(c, cents, "vec_id", "emb", keep = 1)
-        .localCheckpoint(true)
-      val moved = next.as("n").join(assign.as("o"), Seq("vec_id"))
+      val next = assignedFrame(collectCents(cents))
+      // convergence check joins ids only — never vectors
+      val moved = next.as("n").join(assigned.as("o"), Seq("vec_id"))
         .where(col("n.cent_id") =!= col("o.cent_id")).count()
-      assign = next
+      assigned = next
       converged = moved == 0
       i += 1
     }
