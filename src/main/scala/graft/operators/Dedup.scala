@@ -283,6 +283,35 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("canonical_id"))
   }
 
+  /** Quality-aware representative selection: the keep/drop decision
+    * that turns dedup clusters into a filtered corpus. Winner per
+    * cluster = highest quality score, ties broken by min doc_id —
+    * "keep the best copy", not the arbitrary min-id copy (boilerplate
+    * clusters usually contain one clean original and many truncated
+    * or mangled variants). Quality is quantized to 6 decimals BEFORE
+    * ranking so the order is engine-portable.
+    *
+    * `clusters` = (doc_id, cluster_id) from [[clusters]]; `quality` =
+    * (doc_id, <qualityCol>). One shuffle on doc_id for the join, one
+    * on cluster_id for the window — clusters are tiny groups (near-dup
+    * sets), so the window partition never skews. Returns every
+    * clustered doc with its representative and a keep flag. */
+  def selectRepresentatives(clusters: DataFrame, quality: DataFrame,
+      qualityCol: String = "quality"): DataFrame = {
+    val q = quality.select(col("doc_id"),
+      round(col(qualityCol), 6).as("q"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    clusters.join(q, "doc_id")
+      .withColumn("representative_id",
+        first(col("doc_id")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("cluster_id"), col("q").as("quality"),
+        col("representative_id"),
+        when(col("doc_id") === col("representative_id"), 1)
+          .otherwise(0).as("keep"))
+  }
+
   /** Transitive dedup clusters: connected components over the
     * near-dup pair graph, labeling every member with the MINIMUM
     * doc_id reachable — the step that turns pairwise matches into

@@ -363,6 +363,30 @@ object SeriesOps {
       .withColumn("roll_max", max(col("v")).over(w))
   }
 
+  /** Truncated exponentially-weighted moving average over each key's
+    * time order: ewma_t = Σ_{i<k} αⁱ·v_{t−i} / Σ_{i<k, t−i exists} αⁱ
+    * (the standard adjusted-EWMA numerator/denominator, truncated to a
+    * k-row history so the recursion becomes a fixed window expression).
+    * All k `lag(v, i)` terms share ONE window spec — one sort, one
+    * pass, zero shuffle over the bucketed ingest layout (same shape as
+    * the latency window). α defaults to 0.5 so every weight αⁱ is an
+    * exact binary fraction: the term products and the left-to-right
+    * sums are then plain IEEE double ops an external engine replays
+    * bit-for-bit (the oracle embeds the same literals, same order). */
+  def ewma(points: DataFrame, k: Int, alpha: Double = 0.5): DataFrame = {
+    require(k >= 1, "ewma needs at least one term")
+    val vd = col("v").cast("double")
+    val terms = (0 until k).map { i =>
+      coalesce(lag(vd, i).over(wKeyOrd) * lit(math.pow(alpha, i)), lit(0.0))
+    }
+    val weights = (0 until k).map { i =>
+      coalesce(when(lag(vd, i).over(wKeyOrd).isNotNull,
+        lit(math.pow(alpha, i))), lit(0.0))
+    }
+    points.select(col("key"), col("ts"),
+      (terms.reduce(_ + _) / weights.reduce(_ + _)).as("ewma"))
+  }
+
   /** Series.crosscorr(signal, lag) (:: Series.crosscorr) in
     * autocorrelation form for every shift 1..maxLag: Pearson r between
     * the series and itself shifted by `lag` positions, closed-form

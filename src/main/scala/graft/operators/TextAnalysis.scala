@@ -82,6 +82,32 @@ object TextAnalysis {
       best.getField("score").as("lang_score"))
   }
 
+  // ---- stratified sampling ---------------------------------------------
+
+  /** Deterministic stratified sampling: per-stratum keep rates in
+    * sixteenths, decided by the first md5 nibble of (stratum ':' id) —
+    * the portable hash-class scheme the catalog's other deterministic
+    * samplers use (any engine with md5 replays the exact row set; no
+    * seed state, so the sample is stable under re-runs, retries and
+    * incremental appends). The canonical training-data use: downsample
+    * dominant languages/quality bands to a target mix. Strata absent
+    * from `ratesSixteenths` are kept in full. Pure scan-local filter —
+    * zero shuffle, runs inside the scan's codegen stage at any scale. */
+  def stratifiedSample(docs: DataFrame, strata: Column, idCol: Column,
+      ratesSixteenths: Map[String, Int]): DataFrame = {
+    require(ratesSixteenths.values.forall(r => r >= 0 && r <= 16),
+      "per-stratum rates are sixteenths in [0, 16]")
+    // nibble < the rate-th hex char keeps rate/16 of the stratum
+    // (lowercase hex orders lexicographically; 'g' > 'f' keeps all)
+    val hexChars = "0123456789abcdefg"
+    val nib = substring(md5(concat(strata, lit(":"), idCol.cast("string"))), 1, 1)
+    val keep = ratesSixteenths.toSeq.sortBy(_._1).foldRight(lit(true)) {
+      case ((sv, r), els) =>
+        when(strata === sv, nib < lit(hexChars.charAt(r).toString)).otherwise(els)
+    }
+    docs.where(keep)
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   /** Rolling-hash document fingerprint: md5 over each k-word window,

@@ -36,14 +36,16 @@ object DocQueries extends QuerySet {
       // explicit fixed-precedence language pick so the oracle CASE
       // chain mirrors it exactly (TextAnalysis.langId is the API
       // form; tested in PipelineOpsSpec)
-      ordered(langScores(Tables.documents(s, dir))
-        .select(col("doc_id"),
-          when(col("zh_s") > lit(0.05), "zh")
-            .when(col("en_s") >= greatest(col("es_s"), col("de_s"), col("fr_s")) && col("en_s") > 0, "en")
-            .when(col("es_s") >= greatest(col("de_s"), col("fr_s")) && col("es_s") > 0, "es")
-            .when(col("de_s") >= col("fr_s") && col("de_s") > 0, "de")
-            .when(col("fr_s") > 0, "fr")
-            .otherwise("und").as("lang_pred")))),
+      ordered(langPred(Tables.documents(s, dir)))),
+    // stratified sampling keyed on the certified language labels:
+    // downsample en to 4/16, de to 2/16, es to 8/16, fr to 12/16 —
+    // zh/und strata kept in full. The md5-class decision is replayed
+    // verbatim by the oracle, so the row SET (not just counts) is
+    // certified.
+    "q_stratified_sample" -> ((s, dir) =>
+      ordered(TextAnalysis.stratifiedSample(
+        langPred(Tables.documents(s, dir)), col("lang_pred"), col("doc_id"),
+        Map("en" -> 4, "es" -> 8, "fr" -> 12, "de" -> 2)))),
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir).where(col("doc_id") < 30)
       val pairs = d.select(col("doc_id").as("doc_a"))
@@ -82,6 +84,22 @@ object DocQueries extends QuerySet {
       val pairs = Dedup.jaccard(cand, docs)
         .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
       Dedup.clusters(pairs).orderBy("doc_id", "cluster_id")
+    }),
+    // Quality-aware winner selection over the SAME cluster pipeline:
+    // keep the best-quality copy per near-dup cluster (ties → min id),
+    // emitting the per-doc keep/drop decision — the step that turns
+    // clusters into a filtered corpus. The oracle extends the
+    // q_dedup_clusters recursive-CTE replay with the composite quality
+    // score and the same window.
+    "q_dedup_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.minhashLsh(docs, k = 32, bands = 16, portable = true)
+        .select("doc_a", "doc_b")
+      val pairs = Dedup.jaccard(cand, docs)
+        .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
+      val quality = TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality"))
+      ordered(Dedup.selectRepresentatives(Dedup.clusters(pairs), quality))
     }),
     // INCREMENTAL dedup maintenance (r3 verdict next-#5): the same
     // corpus arrives as 3 doc_id-partitioned batches appended to a
@@ -197,6 +215,18 @@ object DocQueries extends QuerySet {
     }),
   )
 
+  /** Fixed-precedence language pick over [[langScores]] — shared by
+    * q_langid and q_stratified_sample so both replay the same oracle
+    * CASE chain. */
+  private def langPred(d: DataFrame): DataFrame =
+    langScores(d).select(col("doc_id"),
+      when(col("zh_s") > lit(0.05), "zh")
+        .when(col("en_s") >= greatest(col("es_s"), col("de_s"), col("fr_s")) && col("en_s") > 0, "en")
+        .when(col("es_s") >= greatest(col("de_s"), col("fr_s")) && col("es_s") > 0, "es")
+        .when(col("de_s") >= col("fr_s") && col("de_s") > 0, "de")
+        .when(col("fr_s") > 0, "fr")
+        .otherwise("und").as("lang_pred"))
+
   private def langScores(d: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), "\\s+")
     def score(ws: Seq[String]) =
@@ -236,6 +266,46 @@ object DocQueries extends QuerySet {
     (0 until bits).map(b =>
       s"(CASE WHEN list_dot_product($e, ${planeList(t, b, dim)}) >= 0 THEN ${1L << b} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** Shared CTE chain for the transitive-cluster oracles: portable-md5
+    * LSH candidates (bands=16) → exact jaccard ≥ 0.5 → recursive-CTE
+    * components → `cl(doc_id, cluster_id)`. MATERIALIZED is
+    * load-bearing on cand/pr/e (see q_dedup_clusters comment). */
+  private lazy val dedupClusterCtes: String =
+    s"""${shCte(3)},
+       |sig AS (
+       |  SELECT doc_id,
+       |    [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in s])
+       |     for i in range(0, 32)] AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, CAST(b AS INT) AS band,
+       |         md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS bucket
+       |  FROM sig, range(0, 16) t(b)),
+       |capped AS (
+       |  SELECT * FROM banded
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |pr AS MATERIALIZED (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = cand.doc_a
+       |  JOIN sh sb ON sb.doc_id = cand.doc_b
+       |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+       |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS w FROM pr
+       |  UNION SELECT doc_b, doc_a FROM pr),
+       |reach(u, w) AS (
+       |  SELECT u, w FROM e
+       |  UNION
+       |  SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u),
+       |cl AS (
+       |  SELECT u AS doc_id, least(u, min(w)) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
 
   private lazy val minhashLshOracle: String =
     s"""WITH ${shCte(3)},
@@ -309,6 +379,38 @@ object DocQueries extends QuerySet {
         |       WHEN fr_s > 0 THEN 'fr'
         |       ELSE 'und' END AS lang_pred
         |FROM sc ORDER BY doc_id, lang_pred""".stripMargin,
+    // q_langid's CASE chain + the md5-nibble class decision replayed
+    // per stratum (en 4/16 '4', es 8/16 '8', fr 12/16 'c', de 2/16
+    // '2'; other strata kept in full)
+    "q_stratified_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is','with','for'], t))) AS DOUBLE) AS en_s,
+        |    CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','que','y','en','una'], t))) AS DOUBLE) AS es_s,
+        |    CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], t))) AS DOUBLE) AS de_s,
+        |    CAST(len(list_filter(toks, t -> list_contains(['le','les','des','et','est','une','dans'], t))) AS DOUBLE) AS fr_s,
+        |    CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE) /
+        |      greatest(length(text), 1) AS zh_s
+        |  FROM t
+        |), lp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN zh_s > 0.05 THEN 'zh'
+        |         WHEN en_s >= greatest(es_s, de_s, fr_s) AND en_s > 0 THEN 'en'
+        |         WHEN es_s >= greatest(de_s, fr_s) AND es_s > 0 THEN 'es'
+        |         WHEN de_s >= fr_s AND de_s > 0 THEN 'de'
+        |         WHEN fr_s > 0 THEN 'fr'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM sc)
+        |SELECT doc_id, lang_pred FROM lp
+        |WHERE CASE lang_pred
+        |  WHEN 'de' THEN substr(md5(lang_pred || ':' || CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        |  WHEN 'en' THEN substr(md5(lang_pred || ':' || CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+        |  WHEN 'es' THEN substr(md5(lang_pred || ':' || CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+        |  WHEN 'fr' THEN substr(md5(lang_pred || ':' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |  ELSE true END
+        |ORDER BY doc_id, lang_pred""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(
@@ -352,40 +454,38 @@ object DocQueries extends QuerySet {
     // iteration (and run it single-threaded — measured 15 min at
     // sf0.1 for the brute-force variant vs seconds here)
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE ${shCte(3)},
-         |sig AS (
-         |  SELECT doc_id,
-         |    [list_min([md5(CAST(i AS VARCHAR) || ':' || x) for x in s])
-         |     for i in range(0, 32)] AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, CAST(b AS INT) AS band,
-         |         md5(array_to_string(sig[b*2+1:b*2+2], '|')) AS bucket
-         |  FROM sig, range(0, 16) t(b)),
-         |capped AS (
-         |  SELECT * FROM banded
-         |  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1000),
-         |cand AS MATERIALIZED (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM capped a JOIN capped b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |pr AS MATERIALIZED (
-         |  SELECT doc_a, doc_b
-         |  FROM cand
-         |  JOIN sh sa ON sa.doc_id = cand.doc_a
-         |  JOIN sh sb ON sb.doc_id = cand.doc_b
-         |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-         |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
-         |e AS MATERIALIZED (
-         |  SELECT doc_a AS u, doc_b AS w FROM pr
-         |  UNION SELECT doc_b, doc_a FROM pr),
-         |reach(u, w) AS (
-         |  SELECT u, w FROM e
-         |  UNION
-         |  SELECT r.u, e.w FROM reach r JOIN e ON r.w = e.u)
-         |SELECT u AS doc_id, least(u, min(w)) AS cluster_id
-         |FROM reach GROUP BY u
+      s"""WITH RECURSIVE $dedupClusterCtes
+         |SELECT doc_id, cluster_id FROM cl
          |ORDER BY doc_id, cluster_id""".stripMargin,
+    // clusters + composite quality + first_value window — the same
+    // ranking key the Spark side quantizes (round 6) before ordering
+    "q_dedup_select" ->
+      s"""WITH RECURSIVE $dedupClusterCtes,
+         |qt AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |qual AS (
+         |  SELECT doc_id, round(
+         |    least((CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+         |           greatest(length(text), 1)) / 0.7::DOUBLE, 1.0::DOUBLE) *
+         |    least((CAST(len(list_filter(toks, t -> list_contains($stopList, t))) AS DOUBLE) /
+         |           greatest(CAST(len(toks) AS DOUBLE), 1.0)) / 0.2::DOUBLE, 1.0::DOUBLE) *
+         |    CASE WHEN (CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+         |               greatest(CAST(len(toks) AS DOUBLE), 1.0))
+         |              BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+         |         THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END, 6) + 0.0 AS q
+         |  FROM qt),
+         |sel AS (
+         |  SELECT cl.doc_id AS doc_id, cl.cluster_id AS cluster_id, qual.q AS quality,
+         |         first_value(cl.doc_id) OVER (
+         |           PARTITION BY cl.cluster_id ORDER BY qual.q DESC, cl.doc_id
+         |         ) AS representative_id
+         |  FROM cl JOIN qual ON qual.doc_id = cl.doc_id)
+         |SELECT doc_id, cluster_id, quality, representative_id,
+         |       CAST(CASE WHEN doc_id = representative_id THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM sel
+         |ORDER BY doc_id, cluster_id, quality, representative_id, keep""".stripMargin,
     "q_fingerprint" ->
       s"""WITH ${shCte(5)}
          |SELECT doc_id,

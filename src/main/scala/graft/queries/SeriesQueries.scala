@@ -104,6 +104,11 @@ object SeriesQueries extends QuerySet {
           col("roll_min"), col("roll_max")))),
     "q_crosscorr" -> ((s, dir) =>
       ordered(SeriesOps.crosscorr(eventPoints(s, dir), 3))),
+    // truncated adjusted EWMA, α=0.5 (exact binary-fraction weights →
+    // the term products and left-to-right sums replay bit-for-bit)
+    "q_ewma" -> ((s, dir) =>
+      ordered(SeriesOps.ewma(eventPoints(s, dir), k = 8)
+        .select(col("key"), col("ts"), round(col("ewma"), 6).as("ewma")))),
     // thunder's GENERAL crosscorr(signal, lag): reference signal =
     // key '1's series, shifts −2..2 — exercises the broadcast
     // signal join; includes lag 0 = correlate(signal)
@@ -224,6 +229,22 @@ object SeriesQueries extends QuerySet {
          |SELECT key, (sab - sa * sb / n) /
          |       (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) AS r
          |FROM ag ORDER BY key, r""".stripMargin,
+    // same IEEE ops in the same left-to-right order as SeriesOps.ewma
+    // (weights are exact binary fractions; ::DOUBLE keeps DuckDB's
+    // decimal-literal parsing out of the arithmetic)
+    "q_ewma" -> {
+      def wt(i: Int) = BigDecimal(math.pow(0.5, i)).toString
+      val num = (0 until 8).map(i =>
+        s"COALESCE(lag(v, $i) OVER w * ${wt(i)}::DOUBLE, 0.0::DOUBLE)")
+        .mkString(" + ")
+      val den = (0 until 8).map(i =>
+        s"COALESCE(CASE WHEN lag(v, $i) OVER w IS NOT NULL THEN ${wt(i)}::DOUBLE END, 0.0::DOUBLE)")
+        .mkString(" + ")
+      s"""$ptsCte SELECT key, ts, round(($num) / ($den), 6) + 0.0 AS ewma
+         |FROM pts
+         |WINDOW w AS (PARTITION BY key ORDER BY ts)
+         |ORDER BY key, ts, ewma""".stripMargin
+    },
     "q_rolling_stats" ->
       s"""$ptsCte SELECT key, ts,
          |  COUNT(*) OVER w AS roll_n,

@@ -597,4 +597,43 @@ class PipelineOpsSpec extends SparkSpecBase {
     val means = Multimodal.featureMeans(Multimodal.decodeAndFeaturize(media))
     assert(means.count() == 3 * 8) // 3 kinds × 8 feature dims
   }
+
+  // ---- representative selection / stratified sampling ------------------
+
+  test("selectRepresentatives: best quality wins, ties break to min id, keep flags exact") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = Dedup.selectRepresentatives(clusters, quality)
+      .orderBy("doc_id")
+      .select("doc_id", "representative_id", "keep")
+      .as[(Long, Long, Int)].collect().toSeq
+    // cluster 1: docs 2 and 3 tie at 0.9 → min id 2 wins over doc 1's 0.2
+    // cluster 10: 10 and 11 tie at 0.5 → 10 wins
+    assert(got == Seq((1L, 2L, 0), (2L, 2L, 1), (3L, 2L, 0),
+      (10L, 10L, 1), (11L, 10L, 0)))
+  }
+
+  test("stratifiedSample: deterministic, per-stratum rates honored, unknown strata kept") {
+    val docs = (0 until 1600).map(i =>
+      (i.toLong, Seq("en", "es", "de", "und")(i % 4))).toDF("doc_id", "stratum")
+    val rates = Map("en" -> 4, "es" -> 8, "de" -> 0)
+    def run() = TextAnalysis.stratifiedSample(docs, col("stratum"), col("doc_id"), rates)
+    val a = run().orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a == run().orderBy("doc_id").as[(Long, String)].collect().toSeq) // deterministic
+    val by = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!by.contains("de"))                 // rate 0 drops the stratum
+    assert(by("und") == 400)                   // absent stratum kept in full
+    // md5 nibbles are uniform: 400 docs/stratum at rate r/16 ≈ 25r ± sampling noise
+    assert(math.abs(by("en") - 100) < 50, s"en=${by("en")}")
+    assert(math.abs(by("es") - 200) < 60, s"es=${by("es")}")
+    // rate honors the exact md5-class definition per row
+    val enKept = a.filter(_._2 == "en").map(_._1).toSet
+    (0 until 1600 by 4).foreach { i =>
+      val nib = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"en:$i".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString.take(1)
+      assert(enKept.contains(i.toLong) == (nib < "4"), s"doc $i nib $nib")
+    }
+  }
 }

@@ -191,4 +191,26 @@ class SeriesOpsSpec extends SparkSpecBase {
     exact.zip(approx).foreach { case (e, a) =>
       assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e") }
   }
+
+  test("ewma: truncated adjusted EWMA matches hand-computed values") {
+    val p = pts("a" -> xs, "b" -> ys)
+    // k=8 covers the whole 6-point history
+    val full = vals(SeriesOps.ewma(p, k = 8), "a", "ewma")
+    val want = xs.indices.map { i =>
+      val hist = (0 to i).map(j => xs(i - j) * math.pow(0.5, j))
+      val den = (0 to i).map(j => math.pow(0.5, j))
+      hist.sum / den.sum
+    }
+    full.zip(want).foreach { case (g, w) => assertClose(g, w, 1e-12) }
+    assertClose(full(1), 5.0 / 3.0, 1e-12)
+    assertClose(full(2), 3.0, 1e-12)
+    // k=2 truncates: only current + one lag contribute
+    val k2 = vals(SeriesOps.ewma(p, k = 2), "a", "ewma")
+    assertClose(k2.head, xs.head, 1e-12)
+    (1 until xs.length).foreach { i =>
+      assertClose(k2(i), (xs(i) + 0.5 * xs(i - 1)) / 1.5, 1e-12)
+    }
+    // key isolation: 'b' never sees 'a' history
+    assertClose(vals(SeriesOps.ewma(p, k = 4), "b", "ewma").head, ys.head, 1e-12)
+  }
 }
