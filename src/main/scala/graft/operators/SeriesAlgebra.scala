@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.KllAgg
 
@@ -48,6 +49,46 @@ object SeriesAlgebra {
   /** Data.astype: cast the signal. */
   def astype(points: DataFrame, to: String): DataFrame =
     points.withColumn("v", col("v").cast(to))
+
+  /** Backward as-of join: attach to every left row the right-side
+    * values at the greatest right.ts ≤ left.ts within the same key
+    * (inclusive at equal ts — the same semantics as an ANSI
+    * `ASOF LEFT JOIN … ON l.key = r.key AND l.ts >= r.ts`, which the
+    * oracle uses verbatim). Spark has no native as-of join; the naive
+    * range-join + per-row max explodes candidates quadratically in
+    * bucket density. This is the scalable shape: UNION the tagged
+    * sides, ONE window sort per key (ref rows sort before probe rows
+    * at equal ts), and `last(_, ignoreNulls)` carries each right
+    * value forward — every right column shares the same window spec,
+    * so the whole join costs one shuffle+sort regardless of how many
+    * probes land between reference points (and zero shuffle when both
+    * sides carry the bucketed ingest layout).
+    *
+    * `right` must be unique per (key, ts) — with duplicates there is
+    * no deterministic "latest" row in any engine. Left rows before
+    * their key's first reference row keep NULL right values (left
+    * semantics). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      rightVals: Seq[String]): DataFrame = {
+    val leftVals = left.columns.filterNot(Set("key", "ts")).toSeq
+    require(leftVals.intersect(rightVals).isEmpty,
+      s"overlapping value columns: ${leftVals.intersect(rightVals)}")
+    val r = right.select((Seq("key", "ts") ++ rightVals).map(col): _*)
+    def nullOf(df: DataFrame, n: String) =
+      lit(null).cast(df.schema(n).dataType).as(n)
+    val probes = left.select(
+      Seq(col("key"), col("ts")) ++ leftVals.map(col) ++
+        rightVals.map(nullOf(r, _)) :+ lit(0).as("__ref"): _*)
+    val refs = r.select(
+      Seq(col("key"), col("ts")) ++ leftVals.map(nullOf(left, _)) ++
+        rightVals.map(col) :+ lit(1).as("__ref"): _*)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts").asc, col("__ref").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightVals.foldLeft(probes.unionByName(refs)) { (df, n) =>
+      df.withColumn(n, last(col(n), ignoreNulls = true).over(w))
+    }.where(col("__ref") === 0).drop("__ref")
+  }
 
   /** Series.aggregate_by_index with an arbitrary aggregate column
     * (thunder/series/series.py :: Series.aggregate_by_index): group

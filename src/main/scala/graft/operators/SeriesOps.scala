@@ -363,6 +363,35 @@ object SeriesOps {
       .withColumn("roll_max", max(col("v")).over(w))
   }
 
+  /** Gap-based sessionization: a new session starts whenever the gap
+    * to the key's previous observation exceeds `gapSeconds` (or at the
+    * key's first row). `session_seq` is the 0-based per-key session
+    * index — the cumulative count of session starts, all inside the
+    * same (key, ts) window sort the other series ops share (one
+    * shuffle; zero over the bucketed layout). µs-precision gap math
+    * (the ms-truncation trap does not apply: unix_micros is exact). */
+  def sessionize(points: DataFrame, gapSeconds: Long): DataFrame = {
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val prevUs = lag(us, 1).over(wKeyOrd)
+    points
+      .withColumn("__start",
+        when(prevUs.isNull || us - prevUs > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__start")).over(
+          wKeyOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .drop("__start")
+  }
+
+  /** Per-session summary over [[sessionize]]: row count, bounds and
+    * exact-decimal value sum per (key, session). */
+  def sessions(points: DataFrame, gapSeconds: Long): DataFrame =
+    sessionize(points, gapSeconds)
+      .groupBy(col("key"), col("session_seq"))
+      .agg(count(lit(1)).as("n_points"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_v"))
+
   /** Truncated exponentially-weighted moving average over each key's
     * time order: ewma_t = Σ_{i<k} αⁱ·v_{t−i} / Σ_{i<k, t−i exists} αⁱ
     * (the standard adjusted-EWMA numerator/denominator, truncated to a

@@ -59,6 +59,24 @@ object AlgebraQueries extends QuerySet {
         .join(w2.select("key").distinct(), Seq("key"), "left_anti")
         .orderBy("key")
     }),
+    // backward as-of join (SURVEY §2.6 engine addition — Spark has no
+    // native ASOF): every event joined to its key's hourly-mean
+    // reference series at the greatest reference ts ≤ event ts; the
+    // oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the union+window
+    // implementation is certified against an independent reference
+    // implementation of the semantics, not a mirror of itself
+    "q_asof_join" -> ((s, dir) => {
+      val p = eventPoints(s, dir).select("key", "ts", "v")
+      val hourly = p.groupBy(col("key"), date_trunc("hour", col("ts")).as("ts"))
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("rv"))
+      ordered(SeriesAlgebra.asofJoin(p, hourly, Seq("rv")))
+    }),
+    // gap-based sessionization (6 h inactivity threshold) summarized
+    // per (key, session): exact integer session assignment + decimal
+    // value sums, replayed verbatim by the oracle's window chain
+    "q_sessions" -> ((s, dir) =>
+      ordered(SeriesOps.sessions(eventPoints(s, dir), gapSeconds = 21600L))),
     "q_neardup_verified" -> ((s, dir) =>
       ordered(Dedup.nearDuplicates(graft.Tables.documents(s, dir), 0.5)
         .select(col("doc_a"), col("doc_b"),
@@ -142,6 +160,35 @@ object AlgebraQueries extends QuerySet {
       s"""$ptsCte SELECT key, ts, v FROM pts
          |WHERE substr(md5(key || ':' || CAST(epoch_us(ts) AS VARCHAR)), 1, 1) < '2'
          |ORDER BY key, ts, v""".stripMargin,
+    "q_asof_join" ->
+      s"""$ptsCte, hr AS (
+         |  SELECT key, date_trunc('hour', ts) AS rts,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS rv
+         |  FROM pts GROUP BY 1, 2)
+         |SELECT p.key AS key, p.ts AS ts, p.v AS v, hr.rv AS rv
+         |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts >= hr.rts
+         |ORDER BY key, ts, v, rv""".stripMargin,
+    // SUM(st) over an INT flag is HUGEINT in DuckDB → CAST to BIGINT
+    // (the r01 dtype lesson); the cumulative frame is spelled ROWS
+    // UNBOUNDED PRECEDING to match Spark's exactly
+    "q_sessions" ->
+      s"""$ptsCte, m AS (
+         |  SELECT key, ts, v,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+         |              THEN 1 ELSE 0 END AS st
+         |  FROM pts
+         |  WINDOW w AS (PARTITION BY key ORDER BY ts)),
+         |s AS (
+         |  SELECT key, ts, v,
+         |         CAST(SUM(st) OVER (PARTITION BY key ORDER BY ts
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_seq
+         |  FROM m)
+         |SELECT key, session_seq, COUNT(*) AS n_points,
+         |       MIN(ts) AS t_start, MAX(ts) AS t_end,
+         |       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+         |FROM s GROUP BY key, session_seq
+         |ORDER BY key, session_seq, n_points, t_start, t_end, sum_v""".stripMargin,
     // SEMANTIC ground-truth oracle: brute-force all-pairs Jaccard ≥ τ.
     // The Spark side is the LSH→verify pipeline, so a green row
     // certifies end-to-end recall AND precision on this corpus (every

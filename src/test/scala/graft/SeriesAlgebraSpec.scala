@@ -82,4 +82,19 @@ class SeriesAlgebraSpec extends SparkSpecBase {
     assert(got.keys.forall { case (_, gid, l1, l2) =>
       (gid != 1 || l2 == -1) && (gid != 3 || (l1 == -1 && l2 == -1)) })
   }
+
+  test("asofJoin: latest ref at-or-before each probe, inclusive ties, null before first ref") {
+    // probes at 0..5 min; refs at 1 min (rv=10) and 3 min (rv=30)
+    val probes = pts("a", xs)
+    val refs = Seq((t(60), 10.0), (t(180), 30.0))
+      .map { case (ts, rv) => ("a", ts, rv) }.toDF("key", "ts", "rv")
+    val got = SeriesAlgebra.asofJoin(probes, refs, Seq("rv"))
+      .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(10.0), Some(10.0), Some(30.0), Some(30.0), Some(30.0)))
+    // key isolation: a ref under another key never leaks
+    val refsB = Seq(("b", t(0), 99.0)).toDF("key", "ts", "rv")
+    val gotB = SeriesAlgebra.asofJoin(probes, refs.unionByName(refsB), Seq("rv"))
+      .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    assert(gotB == got)
+  }
 }

@@ -192,6 +192,24 @@ class SeriesOpsSpec extends SparkSpecBase {
       assert(math.abs(a - e).toDouble / e < 0.1, s"approx $a vs exact $e") }
   }
 
+  test("sessionize: gap threshold splits sessions; summary aggregates per session") {
+    // gaps: 60, 240, 60, 3600, 60 s → with gap=120 s sessions split at
+    // the 240 s and 3600 s gaps
+    val times = Seq(0L, 60L, 300L, 360L, 3960L, 4020L)
+    val p = times.zipWithIndex.map { case (s, i) => Point("a", t(s), i + 1.0) }.toDF()
+    val seq = SeriesOps.sessionize(p, gapSeconds = 120L)
+      .orderBy("ts").select("session_seq").as[Long].collect().toSeq
+    assert(seq == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    val summary = SeriesOps.sessions(p, gapSeconds = 120L)
+      .orderBy("session_seq")
+      .select("session_seq", "n_points", "sum_v").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(summary == Seq((0L, 2L, 3.0), (1L, 2L, 7.0), (2L, 2L, 11.0)))
+    // a gap exactly equal to the threshold does NOT split (strict >)
+    val exact = Seq(Point("a", t(0), 1.0), Point("a", t(120), 2.0)).toDF()
+    assert(SeriesOps.sessions(exact, 120L).count() == 1)
+  }
+
   test("ewma: truncated adjusted EWMA matches hand-computed values") {
     val p = pts("a" -> xs, "b" -> ys)
     // k=8 covers the whole 6-point history
