@@ -90,6 +90,45 @@ object SeriesAlgebra {
     }.where(col("__ref") === 0).drop("__ref")
   }
 
+  /** Bucketized interval (range) join: every point row joined to every
+    * interval row of the same key with `ts ∈ [startCol, endCol]`
+    * (inclusive both ends — ANSI `BETWEEN`, which the oracle uses
+    * verbatim). Spark plans a key-equality + range predicate as a
+    * sort-merge join on key alone with the range as a post-join
+    * filter — per-key candidates are |points_k|·|intervals_k|, which
+    * goes quadratic exactly on the hot keys. The scalable shape:
+    * explode each interval into the time buckets it covers and
+    * equi-join on (key, bucket) — candidates become proportional to
+    * LOCAL density (points near an interval), not per-key totals, and
+    * the join stays a plain hash/sort-merge equi-join AQE can size.
+    * No post-dedup is needed: a point matches an interval only via the
+    * point's own bucket row.
+    *
+    * Pick `bucketSeconds` at or above the typical interval length —
+    * the explode factor is ceil(len/bucket)+1 per interval (a
+    * pathological interval ≫ bucket pays proportionally; cap upstream
+    * if intervals are unbounded). Bucket indices use exact integer
+    * `div` on epoch-µs (never double division — a quotient within one
+    * ulp of an integer would flip the bucket).
+    *
+    * Output: all point columns + the interval's non-join columns. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      startCol: String, endCol: String, bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val clash = (points.columns ++ intervals.columns)
+      .filter(_.startsWith("__"))
+    require(clash.isEmpty, s"reserved column names: ${clash.toSeq}")
+    val bUs = bucketSeconds * 1000000L
+    def bucket(c: String) =
+      expr(s"unix_micros(cast(`$c` as timestamp)) div ${bUs}L")
+    val p = points.withColumn("__b", bucket("ts"))
+    val iv = intervals
+      .withColumn("__b", explode(sequence(bucket(startCol), bucket(endCol))))
+    p.join(iv, Seq("key", "__b"))
+      .where(col("ts") >= col(startCol) && col("ts") <= col(endCol))
+      .drop("__b")
+  }
+
   /** Series.aggregate_by_index with an arbitrary aggregate column
     * (thunder/series/series.py :: Series.aggregate_by_index): group
     * each key's observations by a derived index label and apply any

@@ -72,6 +72,24 @@ object AlgebraQueries extends QuerySet {
           count(lit(1))).as("rv"))
       ordered(SeriesAlgebra.asofJoin(p, hourly, Seq("rv")))
     }),
+    // bucketized interval join (SURVEY §2.6): deterministic md5-class
+    // anchor events become ±30 min windows; every point lands in its
+    // key's overlapping windows via the (key, hour-bucket) equi-join,
+    // then per-window count + exact-decimal sum. The oracle is the
+    // plain inequality join — certifying that the bucket-explode
+    // rewrite is EXACTLY the naive semantics
+    "q_range_join" -> ((s, dir) => {
+      val p = eventPoints(s, dir).select("key", "ts", "v")
+      val anchors = SeriesAlgebra.sampleDeterministic(p, 1)
+        .select(col("key"), col("ts")).distinct()
+        .select(col("key"), col("ts").as("t_anchor"),
+          (col("ts") - expr("INTERVAL 30 MINUTES")).as("t0"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t1"))
+      ordered(SeriesAlgebra.rangeJoin(p, anchors, "t0", "t1", 3600L)
+        .groupBy(col("key"), col("t_anchor"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_v")))
+    }),
     // gap-based sessionization (6 h inactivity threshold) summarized
     // per (key, session): exact integer session assignment + decimal
     // value sums, replayed verbatim by the oracle's window chain
@@ -168,6 +186,18 @@ object AlgebraQueries extends QuerySet {
          |SELECT p.key AS key, p.ts AS ts, p.v AS v, hr.rv AS rv
          |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts >= hr.rts
          |ORDER BY key, ts, v, rv""".stripMargin,
+    "q_range_join" ->
+      s"""$ptsCte, anch AS (
+         |  SELECT DISTINCT key, ts AS t_anchor FROM pts
+         |  WHERE substr(md5(key || ':' || CAST(epoch_us(ts) AS VARCHAR)), 1, 1) < '1')
+         |SELECT a.key AS key, a.t_anchor AS t_anchor, COUNT(*) AS n_points,
+         |       CAST(SUM(CAST(p.v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+         |FROM anch a JOIN pts p
+         |  ON p.key = a.key
+         | AND p.ts BETWEEN a.t_anchor - INTERVAL 30 MINUTE
+         |              AND a.t_anchor + INTERVAL 30 MINUTE
+         |GROUP BY 1, 2
+         |ORDER BY key, t_anchor, n_points, sum_v""".stripMargin,
     // SUM(st) over an INT flag is HUGEINT in DuckDB → CAST to BIGINT
     // (the r01 dtype lesson); the cumulative frame is spelled ROWS
     // UNBOUNDED PRECEDING to match Spark's exactly

@@ -83,6 +83,27 @@ class SeriesAlgebraSpec extends SparkSpecBase {
       (gid != 1 || l2 == -1) && (gid != 3 || (l1 == -1 && l2 == -1)) })
   }
 
+  test("rangeJoin: bucket-explode rewrite equals naive BETWEEN semantics") {
+    // points at minutes 0..5 for key a
+    val p = pts("a", xs)
+    val iv = Seq(
+      ("a", 1, t(60), t(180)),   // exact bucket-boundary ends: points 60..180 inclusive
+      ("a", 2, t(30), t(250)),   // spans buckets 0..4 at 60 s buckets
+      ("a", 3, t(500), t(600)),  // no points in range
+      ("b", 4, t(0), t(300))     // other key: never matches a's points
+    ).toDF("key", "iid", "t0", "t1")
+    def matched(bucketSecs: Long) =
+      SeriesAlgebra.rangeJoin(p, iv, "t0", "t1", bucketSecs)
+        .select("iid", "ts").as[(Int, java.sql.Timestamp)].collect().toSeq
+        .map { case (i, ts) => (i, (ts.getTime - t(0).getTime) / 1000) }.sorted
+    val expect = Seq(1 -> 60L, 1 -> 120L, 1 -> 180L,
+      2 -> 60L, 2 -> 120L, 2 -> 180L, 2 -> 240L)
+    // identical answers (and no duplicates) whether intervals fit one
+    // bucket or explode across five
+    assert(matched(60L) == expect)
+    assert(matched(3600L) == expect)
+  }
+
   test("asofJoin: latest ref at-or-before each probe, inclusive ties, null before first ref") {
     // probes at 0..5 min; refs at 1 min (rv=10) and 3 min (rv=30)
     val probes = pts("a", xs)
