@@ -108,6 +108,44 @@ object TextAnalysis {
     docs.where(keep)
   }
 
+  // ---- sequence packing ------------------------------------------------
+
+  /** Greedy sequential sequence packing: assign documents to
+    * fixed-token-budget context windows ("bins"), the standard
+    * pretraining batch-shaping step. Documents land in a shard by the
+    * deterministic `shard` expression, are ordered by id within the
+    * shard, and a bin closes when the next document would overflow
+    * `budget` (a document larger than the budget gets a bin of its
+    * own). Greedy packing is inherently sequential per shard — no
+    * window/prefix-sum form exists because each decision depends on
+    * every prior one — so this is the documented mapPartitions case:
+    * ONLY (shard, id, n_tokens) metadata is shuffled (never text or
+    * payloads), each shard streams through O(1) state, and shard
+    * count × balance is caller-controlled, so at 100 TB the packing
+    * pass moves ~16 bytes/doc. Output: (shard, idCol, n_tokens,
+    * bin_seq) — join back to payloads by id downstream. */
+  def packSequences(docs: DataFrame, idCol: String, tokens: Column,
+      budget: Long, shard: Column): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(shard.cast("int").as("shard"),
+        col(idCol).cast("long").as("id"), tokens.cast("long").as("nt"))
+      .as[(Int, Long, Long)]
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .mapPartitions { it =>
+        var cur = Int.MinValue; var bin = 0L; var fill = 0L
+        it.map { case (sh, id, nt) =>
+          if (sh != cur) { cur = sh; bin = 0L; fill = nt }
+          else if (fill + nt > budget) { bin += 1; fill = nt }
+          else fill += nt
+          (sh, id, nt, bin)
+        }
+      }
+      .toDF("shard", idCol, "n_tokens", "bin_seq")
+  }
+
   // ---- fingerprinting --------------------------------------------------
 
   /** Rolling-hash document fingerprint: md5 over each k-word window,

@@ -46,6 +46,19 @@ object DocQueries extends QuerySet {
       ordered(TextAnalysis.stratifiedSample(
         langPred(Tables.documents(s, dir)), col("lang_pred"), col("doc_id"),
         Map("en" -> 4, "es" -> 8, "fr" -> 12, "de" -> 2)))),
+    // greedy sequence packing into 512-token context windows, 16
+    // md5-nibble shards: per-shard sequential bin assignment (the
+    // pretraining batch-shaping step). The oracle replays the greedy
+    // recurrence as a recursive CTE stepping rank-by-rank within each
+    // shard — an independent sequential implementation, so the
+    // mapPartitions fold is certified bin-for-bin, not just counted
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+        16, 10).cast("int")
+      ordered(TextAnalysis.packSequences(d, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 512L, shard))
+    }),
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = Tables.documents(s, dir).where(col("doc_id") < 30)
       val pairs = d.select(col("doc_id").as("doc_a"))
@@ -411,6 +424,33 @@ object DocQueries extends QuerySet {
         |  WHEN 'fr' THEN substr(md5(lang_pred || ':' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
         |  ELSE true END
         |ORDER BY doc_id, lang_pred""".stripMargin,
+    // the greedy-packing recurrence as a recursive CTE: the closure
+    // step advances every shard one rank per iteration. Both
+    // pre-CTEs are MATERIALIZED — the recursive term re-evaluates
+    // plain CTEs every iteration (CLAUDE.md invariant)
+    "q_pack_sequences" ->
+      """WITH RECURSIVE d AS MATERIALIZED (
+        |  SELECT CAST(strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard,
+        |         doc_id,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |              - CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS nt
+        |  FROM documents),
+        |r AS MATERIALIZED (
+        |  SELECT shard, doc_id, nt,
+        |         CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS rk
+        |  FROM d),
+        |step AS (
+        |  SELECT shard, rk, doc_id, nt, CAST(0 AS BIGINT) AS bin_seq, nt AS fill
+        |  FROM r WHERE rk = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rk, r.doc_id, r.nt,
+        |         CASE WHEN s.fill + r.nt > 512 THEN s.bin_seq + 1 ELSE s.bin_seq END,
+        |         CASE WHEN s.fill + r.nt > 512 THEN r.nt ELSE s.fill + r.nt END
+        |  FROM step s JOIN r ON r.shard = s.shard AND r.rk = s.rk + 1)
+        |SELECT shard, doc_id, nt AS n_tokens, bin_seq
+        |FROM step
+        |ORDER BY shard, doc_id, n_tokens, bin_seq""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_distinct(

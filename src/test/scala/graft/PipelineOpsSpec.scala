@@ -636,4 +636,20 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(enKept.contains(i.toLong) == (nib < "4"), s"doc $i nib $nib")
     }
   }
+
+  test("packSequences: greedy per-shard bins, oversize doc isolated, shards independent") {
+    // token counts by id: 300, 300, 600, 100, 200, 50 at budget 512
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 600L), (4L, 100L),
+      (5L, 200L), (6L, 50L)).toDF("doc_id", "nt")
+    // single shard, greedy by id: 300 | 300 | 600 (oversize, alone) | 100+200+50
+    val one = TextAnalysis.packSequences(docs, "doc_id", col("nt"), 512L, lit(0))
+      .orderBy("doc_id").select("bin_seq").as[Long].collect().toSeq
+    assert(one == Seq(0L, 1L, 2L, 3L, 3L, 3L))
+    // two shards pack independently of each other's fill state:
+    // odd ids (300, 600, 200) → 3 bins; even ids (300+100+50=450) → 1 bin
+    val m = TextAnalysis.packSequences(docs, "doc_id", col("nt"), 512L,
+        pmod(col("doc_id"), lit(2)).cast("int"))
+      .select("doc_id", "bin_seq").as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 0L, 3L -> 1L, 5L -> 2L, 2L -> 0L, 4L -> 0L, 6L -> 0L))
+  }
 }
