@@ -11,6 +11,30 @@ import Q._
   * sketched tier queries. */
 object AlgebraQueries extends QuerySet {
 
+  /** Shared by q_sessions (batch) and q_streaming_sessions (bounded
+    * session_window replay): both must equal this independent window
+    * chain. SUM(st) over an INT flag is HUGEINT in DuckDB → CAST to
+    * BIGINT (the r01 dtype lesson); the cumulative frame is spelled
+    * ROWS UNBOUNDED PRECEDING to match Spark's exactly. */
+  private val sessionsOracle: String =
+    s"""$ptsCte, m AS (
+       |  SELECT key, ts, v,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+       |              THEN 1 ELSE 0 END AS st
+       |  FROM pts
+       |  WINDOW w AS (PARTITION BY key ORDER BY ts)),
+       |s AS (
+       |  SELECT key, ts, v,
+       |         CAST(SUM(st) OVER (PARTITION BY key ORDER BY ts
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_seq
+       |  FROM m)
+       |SELECT key, session_seq, COUNT(*) AS n_points,
+       |       MIN(ts) AS t_start, MAX(ts) AS t_end,
+       |       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+       |FROM s GROUP BY key, session_seq
+       |ORDER BY key, session_seq, n_points, t_start, t_end, sum_v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // element_wise(minus): series minus its clipped self — exercises
     // the (key, ts) equi-join; residual is expressible row-wise in SQL
@@ -95,6 +119,31 @@ object AlgebraQueries extends QuerySet {
     // value sums, replayed verbatim by the oracle's window chain
     "q_sessions" -> ((s, dir) =>
       ordered(SeriesOps.sessions(eventPoints(s, dir), gapSeconds = 21600L))),
+    // streaming twin: the SAME corpus replayed as a bounded file
+    // stream in 3 hash-chunked micro-batches through the native
+    // session_window state machinery (complete mode — sessions split
+    // across batches merge in state), then the per-key ordinal is
+    // attached; must hash-match the BATCH q_sessions oracle verbatim
+    "q_streaming_sessions" -> ((s, dir) => {
+      val base = freshDir(s"graft_qss_${math.abs(dir.hashCode).toString}")
+      val ev = graft.Tables.events(s, dir)
+      (0 until 3).foreach { i =>
+        ev.where(pmod(xxhash64(col("event_id")), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val name = s"qss_${math.abs(base.hashCode).toString}"
+      val q = graft.streaming.StreamingSessions
+        .sessionAgg(Signals.fromEvents(stream), gapSeconds = 21600L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ordered(graft.streaming.StreamingSessions.withSessionSeq(s.table(name)))
+    }),
     "q_neardup_verified" -> ((s, dir) =>
       ordered(Dedup.nearDuplicates(graft.Tables.documents(s, dir), 0.5)
         .select(col("doc_a"), col("doc_b"),
@@ -201,24 +250,10 @@ object AlgebraQueries extends QuerySet {
     // SUM(st) over an INT flag is HUGEINT in DuckDB → CAST to BIGINT
     // (the r01 dtype lesson); the cumulative frame is spelled ROWS
     // UNBOUNDED PRECEDING to match Spark's exactly
-    "q_sessions" ->
-      s"""$ptsCte, m AS (
-         |  SELECT key, ts, v,
-         |         CASE WHEN lag(ts) OVER w IS NULL
-         |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
-         |              THEN 1 ELSE 0 END AS st
-         |  FROM pts
-         |  WINDOW w AS (PARTITION BY key ORDER BY ts)),
-         |s AS (
-         |  SELECT key, ts, v,
-         |         CAST(SUM(st) OVER (PARTITION BY key ORDER BY ts
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_seq
-         |  FROM m)
-         |SELECT key, session_seq, COUNT(*) AS n_points,
-         |       MIN(ts) AS t_start, MAX(ts) AS t_end,
-         |       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
-         |FROM s GROUP BY key, session_seq
-         |ORDER BY key, session_seq, n_points, t_start, t_end, sum_v""".stripMargin,
+    "q_sessions" -> sessionsOracle,
+    // the streaming replay must converge to the BATCH sessionization
+    // bit-for-bit — the oracle is the identical SQL
+    "q_streaming_sessions" -> sessionsOracle,
     // SEMANTIC ground-truth oracle: brute-force all-pairs Jaccard ≥ τ.
     // The Spark side is the LSH→verify pipeline, so a green row
     // certifies end-to-end recall AND precision on this corpus (every

@@ -123,6 +123,40 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming session windows equal batch sessionization across adversarial splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessions
+    implicit val sqlCtx = spark.sqlContext
+    // gap = 120 s; deltas strictly over, exactly at, and under the
+    // threshold. The exactly-at gap (a: 0→120) must NOT split in
+    // either engine — it pins the +1 µs convention alignment between
+    // session_window (splits at ≥ gap) and the batch rule (> gap).
+    val pts = Seq(
+      Point("a", t(0), 1.0), Point("a", t(120), 2.0),
+      Point("a", t(241), 3.0), Point("a", t(300), 4.0), // 121 s → new session
+      Point("b", t(50), 5.0), Point("b", t(500), 6.0),  // 450 s → two sessions
+      // c arrives as two separate sessions (0 | 240) until the t(120)
+      // bridge lands in the LAST batch and merges them into one
+      Point("c", t(0), 7.0), Point("c", t(240), 8.0), Point("c", t(120), 9.0))
+    val src = MemoryStream[Point]
+    val q = StreamingSessions.sessionAgg(src.toDF(), gapSeconds = 120L)
+      .writeStream.format("memory").queryName("sessions_tst")
+      .outputMode("complete")
+      .start()
+    // out-of-order, sessions split across micro-batches, bridge last
+    src.addData(pts(2), pts(5), pts(7)); q.processAllAvailable()
+    src.addData(pts(0), pts(3), pts(6)); q.processAllAvailable()
+    src.addData(pts(1), pts(4), pts(8)); q.processAllAvailable()
+    q.stop()
+    val got = StreamingSessions.withSessionSeq(spark.table("sessions_tst"))
+    val want = graft.operators.SeriesOps.sessions(pts.toDF(), 120L)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      s"streamed sessions diverged:\n${got.orderBy("key", "session_seq").collect().toSeq}" +
+        s"\nvs\n${want.orderBy("key", "session_seq").collect().toSeq}")
+    // the c-bridge really merged: one session of 3 points
+    assert(got.where(col("key") === "c").count() == 1)
+  }
+
   test("stateful streaming latency equals batch lag() across micro-batch splits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingLatency
