@@ -60,9 +60,12 @@ object SeriesAlgebra {
     * sides, ONE window sort per key (ref rows sort before probe rows
     * at equal ts), and `last(_, ignoreNulls)` carries each right
     * value forward — every right column shares the same window spec,
-    * so the whole join costs one shuffle+sort regardless of how many
-    * probes land between reference points (and zero shuffle when both
-    * sides carry the bucketed ingest layout).
+    * so the whole join costs ONE shuffle+sort regardless of how many
+    * probes land between reference points or how many right columns
+    * ride along (plan-gated: exactly one Exchange. Union forgets its
+    * children's partitioning, so the one exchange is paid even over
+    * pre-partitioned inputs — still strictly better than the
+    * range-join's quadratic candidate set).
     *
     * `right` must be unique per (key, ts) — with duplicates there is
     * no deterministic "latest" row in any engine. Left rows before

@@ -83,6 +83,16 @@ class SeriesAlgebraSpec extends SparkSpecBase {
       (gid != 1 || l2 == -1) && (gid != 3 || (l1 == -1 && l2 == -1)) })
   }
 
+  test("asofJoin plans exactly one exchange (union + one shared window sort)") {
+    val probes = pts("a", xs)
+    val refs = Seq(("a", t(60), 10.0), ("a", t(180), 30.0)).toDF("key", "ts", "rv")
+    val plan = SeriesAlgebra.asofJoin(probes, refs, Seq("rv"))
+      .queryExecution.executedPlan.toString
+    val ex = plan.sliding("Exchange".length).count(_ == "Exchange") -
+      plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
+    assert(ex == 1, s"expected one exchange:\n$plan")
+  }
+
   test("rangeJoin: bucket-explode rewrite equals naive BETWEEN semantics") {
     // points at minutes 0..5 for key a
     val p = pts("a", xs)
