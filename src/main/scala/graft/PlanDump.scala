@@ -98,6 +98,32 @@ object PlanDump {
         "all prefix levels of the (l1, l2) index hierarchy share a single scan+shuffle; thunder re-aggregates once per level",
         SeriesAlgebra.statByIndexMulti(Q.eventPoints(spark, sf),
           hour(col("ts")), minute(col("ts")))),
+      ("backward as-of join: UNION both sides + ONE shared window (one exchange total)",
+        "every probe row attaches its key's latest at-or-before hourly reference; no range-join candidate set is ever materialized, and extra right columns ride the same window spec for free",
+        {
+          val p = Q.eventPoints(spark, sf).select("key", "ts", "v")
+          val hourly = p.groupBy(col("key"), date_trunc("hour", col("ts")).as("ts"))
+            .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).as("rv"))
+          SeriesAlgebra.asofJoin(p, hourly, Seq("rv"))
+        }),
+      ("bucketized interval join: interval→bucket explode + (key, bucket) EQUI-join",
+        "the naive plan is a sort-merge join on key alone with the range as a post-join filter (per-key quadratic on hot keys); here candidates are proportional to local density and the join is a plain equi-join AQE can size",
+        {
+          val p = Q.eventPoints(spark, sf).select("key", "ts", "v")
+          val anchors = SeriesAlgebra.sampleDeterministic(p, 1)
+            .select(col("key"), col("ts")).distinct()
+            .select(col("key"), col("ts").as("t_anchor"),
+              (col("ts") - expr("INTERVAL 30 MINUTES")).as("t0"),
+              (col("ts") + expr("INTERVAL 30 MINUTES")).as("t1"))
+          SeriesAlgebra.rangeJoin(p, anchors, "t0", "t1", 3600L)
+        }),
+      ("sequence packing: metadata-only shuffle (shard, id, n_tokens — text never moves)",
+        "the scan projects three narrow columns before the exchange; the greedy fold streams each shard with O(1) state after sortWithinPartitions",
+        TextAnalysis.packSequences(Tables.documents(spark, sf), "doc_id",
+          TextAnalysis.tokenCount(col("text")), 512L,
+          conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int"))),
       ("incremental dedup: new-batch candidates against the persisted band index",
         "only the new batch's text is shingled (pure projection); the join runs on compact (band, bucket) index rows — the old corpus is never re-read as text",
         {
