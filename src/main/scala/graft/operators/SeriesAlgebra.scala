@@ -121,6 +121,9 @@ object SeriesAlgebra {
     val clash = (points.columns ++ intervals.columns)
       .filter(_.startsWith("__"))
     require(clash.isEmpty, s"reserved column names: ${clash.toSeq}")
+    val overlap = intervals.columns.intersect(points.columns).toSeq
+    require(overlap == Seq("key"),
+      s"sides may share only the join key, got: $overlap")
     val bUs = bucketSeconds * 1000000L
     def bucket(c: String) =
       expr(s"unix_micros(cast(`$c` as timestamp)) div ${bUs}L")

@@ -127,6 +127,12 @@ object TextAnalysis {
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
       budget: Long, shard: Column): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(docs.schema(idCol).dataType)
+    }, s"$idCol must be integral (a string id would cast to null and " +
+      "silently collapse documents)")
     val s = docs.sparkSession
     import s.implicits._
     docs.select(shard.cast("int").as("shard"),

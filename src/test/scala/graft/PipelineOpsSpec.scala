@@ -652,4 +652,12 @@ class PipelineOpsSpec extends SparkSpecBase {
       .select("doc_id", "bin_seq").as[(Long, Long)].collect().toMap
     assert(m == Map(1L -> 0L, 3L -> 1L, 5L -> 2L, 2L -> 0L, 4L -> 0L, 6L -> 0L))
   }
+
+  test("packSequences rejects non-integral id columns (string id would cast to null)") {
+    val docs = Seq(("d1", 300L)).toDF("doc_id", "nt")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.packSequences(docs, "doc_id", col("nt"), 512L, lit(0))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

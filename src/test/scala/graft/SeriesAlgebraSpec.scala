@@ -114,6 +114,15 @@ class SeriesAlgebraSpec extends SparkSpecBase {
     assert(matched(3600L) == expect)
   }
 
+  test("rangeJoin rejects sides sharing non-key columns (ambiguous output)") {
+    val p = pts("a", xs)
+    val iv = Seq(("a", t(0), t(60), 9.9)).toDF("key", "t0", "t1", "v")
+    val e = intercept[IllegalArgumentException] {
+      SeriesAlgebra.rangeJoin(p, iv, "t0", "t1", 60L)
+    }
+    assert(e.getMessage.contains("share only the join key"))
+  }
+
   test("asofJoin: latest ref at-or-before each probe, inclusive ties, null before first ref") {
     // probes at 0..5 min; refs at 1 min (rv=10) and 3 min (rv=30)
     val probes = pts("a", xs)
