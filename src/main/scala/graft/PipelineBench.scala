@@ -121,6 +121,10 @@ object PipelineBench {
       out += s""""ivf_stats":{"auto_step":$step,"n_lists":${nVecs / step}}"""
     }
 
+    // ---- repetition metrics (scan-local Gopher-style filters) ----------
+    if (only("repetition")) timedWrite("repetition",
+      graft.operators.TextAnalysis.repetitionStats(docs))
+
     // ---- k-means quantizer build (the learned-centroid path) -----------
     if (only("kmeans")) {
       val t0 = System.nanoTime()

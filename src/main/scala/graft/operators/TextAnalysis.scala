@@ -167,4 +167,101 @@ object TextAnalysis {
       .select(col("doc_id"),
         slice(array_sort(transform(col("sh"), s => md5(s))), 1, keep)
           .as("fingerprint"))
+
+  // ---- repetition filtering (Gopher §A1.1 / C4-style) ------------------
+
+  /** Raw word n-grams WITH multiplicity (Dedup.shinglesOf minus the
+    * distinct — repetition metrics need the duplicate occurrences the
+    * dedup signatures deliberately discard). Same staging rule: pass a
+    * bound token column, never an inline split. */
+  def gramsOf(toks: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      x => x.isNotNull)
+
+  /** Per-document repetition metrics — the public Gopher repetition
+    * filters (Rae et al. 2021 §A1.1 "repetitious text"; C4, Raffel et
+    * al. 2020) re-expressed over word n-grams: duplicate-n-gram
+    * fraction and most-frequent-n-gram fraction, plus the raw counts.
+    * Everything is scan-local: the most-frequent count is a run-length
+    * maximum over the SORTED gram array (an `aggregate` lambda with a
+    * (prev, run, best) accumulator), so no per-doc explode+groupBy
+    * shuffle ever happens — at 100 TB this is a projection, not a
+    * join. Equal grams are adjacent under ANY sort order, so the
+    * run-length count is engine-portable even though collations are
+    * not; the fractions are single int→double divisions (one
+    * correctly-rounded IEEE op — byte-exact cross-engine, no round()
+    * needed).
+    *
+    * Output: (doc_id, n_words, n_grams, uniq_grams, top_gram_n,
+    * dup_gram_frac, top_gram_frac). */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val init = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    def step(acc: Column, x: Column) = {
+      val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc("best"), run).as("best"))
+    }
+    docs
+      .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn("__g", gramsOf(col("__toks"), n))
+      // double-reference barrier: keeps CollapseProject from
+      // re-inlining the gram expression into the aggregate lambda
+      .withColumn("__sg", when(size(col("__g")) >= 0, sort_array(col("__g"))))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        size(col("__g")).cast("long").as("n_grams"),
+        size(array_distinct(col("__g"))).cast("long").as("uniq_grams"),
+        aggregate(col("__sg"), init, step, _("best")).as("top_gram_n"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_grams"), col("uniq_grams"),
+        col("top_gram_n"),
+        when(col("n_grams") > 0,
+          (col("n_grams") - col("uniq_grams")).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("dup_gram_frac"),
+        when(col("n_grams") > 0,
+          col("top_gram_n").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("top_gram_frac"))
+  }
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Benchmark decontamination: per-document count of distinct word
+    * n-grams that also occur in `bench` (the eval-set table) — the
+    * standard n-gram-overlap contamination check run before training.
+    *
+    * `bench` is an evaluation benchmark: small BY CONTRACT (eval sets
+    * are MBs while the corpus is TBs), so its distinct-gram set is
+    * broadcast and the probe is a map-side semi-probe on the document
+    * scan — document grams are never shuffled; the only exchange
+    * carries one partial (doc_id, counts) row per doc per partition
+    * (map-side combine collapses the per-gram rows first). A corpus-
+    * sized right side does not belong here — that is a dedup problem,
+    * use [[Dedup]].
+    *
+    * Output: (doc_id, n_grams, hit_grams, contam_frac) for EVERY doc
+    * (zero-gram docs kept with zeros). */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
+    val benchGrams = Dedup.withShingles(bench, n)
+      .select(explode(col("sh")).as("gram")).distinct()
+      .withColumn("__hit", lit(1))
+    val agg = Dedup.withShingles(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("hit_grams"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("hit_grams").cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contam_frac"))
+  }
 }

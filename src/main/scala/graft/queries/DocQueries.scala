@@ -226,6 +226,21 @@ object DocQueries extends QuerySet {
         .select(col("doc_id").as("vec_id"), col("cluster_id"))
         .orderBy("vec_id", "cluster_id")
     }),
+    // Gopher-style repetition metrics over word 2-grams: the
+    // most-frequent-gram count comes from a scan-local run-length
+    // maximum over the sorted gram array; the oracle recomputes it
+    // the natural SQL way (unnest + GROUP BY + MAX), so the lambda
+    // fold is certified against an independent formulation
+    "q_repetition" -> ((s, dir) =>
+      ordered(TextAnalysis.repetitionStats(Tables.documents(s, dir)))),
+    // benchmark decontamination: docs with doc_id % 97 = 0 act as the
+    // "eval set"; every document reports how many of its distinct
+    // 5-grams appear in that set (bench docs themselves score 1.0 —
+    // the degenerate full-overlap case, certified too)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ordered(TextAnalysis.contamination(d, d.where(col("doc_id") % 97 === 0)))
+    }),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -654,5 +669,60 @@ object DocQueries extends QuerySet {
          |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
          |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
     },
+    // repetitionStats mirror: raw (non-distinct) 2-grams, counts via
+    // the natural unnest + GROUP BY + MAX formulation (the engine's
+    // sorted-array run-length fold is an independent implementation);
+    // fractions are single int→double divisions — byte-exact, no
+    // rounding needed
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+        |         CASE WHEN len(toks) >= 2 THEN
+        |           [array_to_string(toks[i+1:i+2], ' ')
+        |            for i in range(0, greatest(len(toks)-2, 0)+1)]
+        |         ELSE [] END AS gs
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, n_words, CAST(len(gs) AS BIGINT) AS n_grams,
+        |         CAST(len(list_distinct(gs)) AS BIGINT) AS uniq_grams, gs
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_n
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS cnt
+        |        FROM x, unnest(gs) u(gram) GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT x.doc_id, n_words, n_grams, uniq_grams,
+        |       CAST(COALESCE(top_n, 0) AS BIGINT) AS top_gram_n,
+        |       CASE WHEN n_grams > 0
+        |            THEN CAST(n_grams - uniq_grams AS DOUBLE) / n_grams
+        |            ELSE 0.0 END AS dup_gram_frac,
+        |       CASE WHEN n_grams > 0
+        |            THEN CAST(COALESCE(top_n, 0) AS DOUBLE) / n_grams
+        |            ELSE 0.0 END AS top_gram_frac
+        |FROM x LEFT JOIN c USING (doc_id)
+        |ORDER BY doc_id, n_words, n_grams, uniq_grams, top_gram_n,
+        |         dup_gram_frac, top_gram_frac""".stripMargin,
+    // contamination mirror: distinct 5-gram shingles (shCte), bench =
+    // doc_id % 97 = 0, per-doc hit counts via join against the
+    // distinct bench-gram set
+    "q_decontaminate" ->
+      s"""WITH ${shCte(5)},
+         |bench AS (
+         |  SELECT DISTINCT gram FROM sh, unnest(s) u(gram)
+         |  WHERE doc_id % 97 = 0),
+         |hits AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+         |  FROM (SELECT doc_id, gram FROM sh, unnest(s) u(gram)) dg
+         |  JOIN bench USING (gram) GROUP BY doc_id)
+         |SELECT sh.doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+         |       CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams,
+         |       CASE WHEN len(s) > 0
+         |            THEN CAST(COALESCE(hit_grams, 0) AS DOUBLE) / len(s)
+         |            ELSE 0.0 END AS contam_frac
+         |FROM sh LEFT JOIN hits USING (doc_id)
+         |ORDER BY doc_id, n_grams, hit_grams, contam_frac""".stripMargin,
   )
 }

@@ -660,4 +660,40 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("repetitionStats: run-length top-gram, dup fraction, degenerate docs") {
+    val docs = Seq(
+      (1L, "a b a b a"), // grams: a b, b a, a b, b a
+      (2L, "x y z"),     // grams: x y, y z — all unique
+      (3L, "solo"),      // no 2-grams at all
+      (4L, "A a A")      // lowercased: a a, a a
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_words", "n_grams", "uniq_grams", "top_gram_n",
+        "dup_gram_frac", "top_gram_frac")
+      .as[(Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 4L, 2L, 2L, 0.5, 0.5)))
+    assert(got(2L) == ((2L, 3L, 2L, 2L, 1L, 0.0, 0.5)))
+    assert(got(3L) == ((3L, 1L, 0L, 0L, 0L, 0.0, 0.0)))
+    assert(got(4L) == ((4L, 3L, 2L, 1L, 2L, 0.5, 1.0)))
+  }
+
+  test("contamination: bench-gram hits per doc, zero-gram docs kept") {
+    val docs = Seq(
+      (10L, "p q r s t u"),  // both 5-grams hit
+      (11L, "p q r s t x"),  // one of two hits
+      (12L, "m n o p q r"),  // zero hits
+      (13L, "one two")       // no 5-grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "p q r s t u")).toDF("doc_id", "text")
+    val got = TextAnalysis.contamination(docs, bench, n = 5)
+      .select("doc_id", "n_grams", "hit_grams", "contam_frac")
+      .as[(Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(10L) == ((10L, 2L, 2L, 1.0)))
+    assert(got(11L) == ((11L, 2L, 1L, 0.5)))
+    assert(got(12L) == ((12L, 2L, 0L, 0.0)))
+    assert(got(13L) == ((13L, 0L, 0L, 0.0)))
+  }
 }

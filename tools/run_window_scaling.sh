@@ -26,8 +26,8 @@ by = {}
 for r in rows:
     by.setdefault(r["cores"], []).append(r)
 lo, hi = min(by), max(by)
-OPS = ["asof_join", "range_join", "sessions", "ewma", "pack"]
 def runs(c): return [run for r in by[c] for run in r["runs"]]
+OPS = list(runs(lo)[0].keys())
 inr = by[lo][0]["in_rows"]
 print(f"turns={by[lo][0]['turns']} pts={inr['pts']} docs={inr['docs']} "
       f"executions={len(by[lo])}")
