@@ -124,6 +124,13 @@ object PlanDump {
           TextAnalysis.tokenCount(col("text")), 512L,
           conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
             .cast("int"))),
+      ("repetition metrics: scan-local projection (no per-doc explode+groupBy anywhere)",
+        "the most-frequent-gram count is a run-length maximum over the sorted gram array inside the projection — the plan is Scan → Project, so repetition filtering costs one pass over the text at any corpus size",
+        TextAnalysis.repetitionStats(Tables.documents(spark, sf))),
+      ("decontamination: broadcast bench-gram probe + ONE partial-agg exchange",
+        "bench grams (eval set, small by contract) broadcast; document grams are probed map-side and partial-aggregated per doc before the only exchange — gram rows never shuffle",
+        TextAnalysis.contamination(Tables.documents(spark, sf),
+          Tables.documents(spark, sf).where(col("doc_id") % 97 === 0))),
       ("incremental dedup: new-batch candidates against the persisted band index",
         "only the new batch's text is shingled (pure projection); the join runs on compact (band, bucket) index rows — the old corpus is never re-read as text",
         {

@@ -61,6 +61,35 @@ class BucketedCascadeSpec extends SparkSpecBase {
     }
   }
 
+  test("window family over a bucketed (key, ts) points table: zero exchange, zero sort") {
+    // the WindowBench bucketed-layout claim (BENCH.md round-4 window
+    // table): sessions/ewma over a key-bucketed, (key, ts)-sorted
+    // points table plan with no Exchange and no Sort, and match the
+    // plain-layout results exactly
+    val dir = Files.createTempDirectory("graft_bkt_spec4").toString
+    val pts = Signals.latencyPoints(TranscriptGen.turns(spark, 30000, 200, partitions = 8))
+      .where(col("v").isNotNull)
+    pts.repartition(8, col("key"))
+      .write.mode("overwrite").bucketBy(8, "key").sortBy("key", "ts")
+      .option("path", s"$dir/pts").saveAsTable("spec_pts_bkt4")
+    val prev = spark.conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try {
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val bkt = spark.table("spec_pts_bkt4")
+      for (df <- Seq(SeriesOps.sessions(bkt, 300L), SeriesOps.ewma(bkt, 4))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(shuffles(df) == 0, s"exchange not elided:\n$plan")
+        assert(!plan.contains("Sort "), s"Sort not elided:\n$plan")
+      }
+      val a = SeriesOps.sessions(bkt, 300L)
+      val b = SeriesOps.sessions(pts, 300L)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+      case None => spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("registerBucketed re-declares the layout for a fresh catalog") {
     val dir = Files.createTempDirectory("graft_bkt_spec2").toString
     val tr = TranscriptGen.turns(spark, 20000, 100, partitions = 4)
