@@ -245,23 +245,24 @@ object TextAnalysis {
     *
     * Output: (doc_id, n_grams, hit_grams, contam_frac) for EVERY doc
     * (zero-gram docs kept with zeros). */
-  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame = {
-    val benchGrams = Dedup.withShingles(bench, n)
-      .select(explode(col("sh")).as("gram")).distinct()
-      .withColumn("__hit", lit(1))
-    val agg = Dedup.withShingles(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left")
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 5): DataFrame =
+    Dedup.withShingles(docs, n)
+      // explode_OUTER, deliberately: a plain explode makes Catalyst
+      // infer a `size(sh) > 0` filter and push it below the staging
+      // projections, re-inlining the whole shingle pipeline into a
+      // per-row Filter (the staged-HOF O(n·m) class — and it costs a
+      // second evaluation of every signature). outer explode infers
+      // nothing, and it keeps zero-gram docs as a null-gram row, so
+      // no second docs scan + join-back is needed either.
+      .select(col("doc_id"), explode_outer(col("sh")).as("gram"))
+      .join(broadcast(Dedup.withShingles(bench, n)
+        .select(explode(col("sh")).as("gram")).distinct()
+        .withColumn("__hit", lit(1))), Seq("gram"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("hit_grams"))
-    docs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+      .agg(count(col("gram")).as("n_grams"), count(col("__hit")).as("hit_grams"))
       .select(
-        col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("hit_grams"), lit(0L)).as("hit_grams"),
-        when(coalesce(col("n_grams"), lit(0L)) > 0,
+        col("doc_id"), col("n_grams"), col("hit_grams"),
+        when(col("n_grams") > 0,
           col("hit_grams").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("contam_frac"))
-  }
 }
