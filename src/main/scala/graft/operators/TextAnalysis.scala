@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines over `documents`:
@@ -226,6 +227,73 @@ object TextAnalysis {
         when(col("n_grams") > 0,
           col("top_gram_n").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("top_gram_frac"))
+  }
+
+  // ---- corpus mix report -----------------------------------------------
+
+  /** Training-data mix report: document/char/token totals per
+    * (source, lang) with all rollup margins in ONE grouping-sets pass
+    * (the data-mix table every pretraining run is steered by). Same
+    * one-scan-one-shuffle shape and label discipline as
+    * `SeriesAlgebra.statByIndexMulti`: grouped-out labels surface as
+    * '<all>' (never NULL — a NULL label would flip the column
+    * nullable and trip dtype-strict gates), `gid` disambiguates
+    * levels (0 = per (source, lang), 1 = per source, 3 = grand
+    * total). mean_tokens is a single int→double division —
+    * byte-exact cross-engine. */
+  def corpusMix(docs: DataFrame): DataFrame =
+    docs
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      .select(
+        coalesce(col("source"), lit("<all>")).as("source"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("gid").cast("int").as("gid"),
+        col("n_docs"), col("n_chars"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+
+  // ---- distinctive-term extraction -------------------------------------
+
+  /** Per-document top-k distinctive terms: score = tf / df — term
+    * frequency in the doc over document frequency in the corpus (the
+    * TF-IDF shape with a rational idf surrogate: rank-equivalent to
+    * tf·(N/df), and EXACT — one int→int division per score, so the
+    * ranking replays byte-for-byte in any engine, where an ln-based
+    * idf would hang rank boundaries on libm ulp differences; swap the
+    * scorer for tf·ln(N/df) if absolute TF-IDF values are wanted over
+    * certifiable ranks).
+    *
+    * Shape at scale: tokens explode to (doc_id, term) and aggregate
+    * to tf (partial agg condenses in-partition duplicates before the
+    * one exchange); df is a SECOND aggregate over the same rows
+    * (vocabulary-bounded output) that broadcast-joins back; the
+    * per-doc top-k window carries only (doc_id, term, counts) and
+    * WindowGroupLimit trims it map-side. The df side is NOT force-
+    * broadcast: a web-scale vocabulary (URLs, typos) is unbounded, so
+    * the join strategy is left to AQE — broadcast when the measured
+    * vocab is small, shuffle join when it is not (the r2 lesson:
+    * never force-broadcast a side whose size the data controls).
+    * Docs with no tokens have no terms — no rows, by definition of a
+    * top-k. Ties rank by term (exact-equality comparison of exact
+    * scores — deterministic). */
+  def distinctiveTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val toks = docs.select(col("doc_id"),
+      explode_outer(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("tf"), col("df"), col("score"))
   }
 
   // ---- benchmark decontamination ---------------------------------------

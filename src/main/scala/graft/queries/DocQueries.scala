@@ -241,6 +241,17 @@ object DocQueries extends QuerySet {
       val d = Tables.documents(s, dir)
       ordered(TextAnalysis.contamination(d, d.where(col("doc_id") % 97 === 0)))
     }),
+    // training-data mix report: one grouping-sets pass over
+    // (source, lang) with all margins; oracle replays the levels as
+    // explicit UNION ALL with literal gid values (no cross-engine
+    // GROUPING_ID bit-order assumptions — the statByIndexMulti rule)
+    "q_corpus_mix" -> ((s, dir) =>
+      ordered(TextAnalysis.corpusMix(Tables.documents(s, dir)))),
+    // per-doc top-3 distinctive terms: tf/df rational scoring — the
+    // ranking is exact int arithmetic + one division, so the full
+    // (rank, term, score) rows replay byte-for-byte
+    "q_keywords" -> ((s, dir) =>
+      ordered(TextAnalysis.distinctiveTerms(Tables.documents(s, dir), 3))),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -724,5 +735,54 @@ object DocQueries extends QuerySet {
          |            ELSE 0.0 END AS contam_frac
          |FROM sh LEFT JOIN hits USING (doc_id)
          |ORDER BY doc_id, n_grams, hit_grams, contam_frac""".stripMargin,
+    // corpusMix mirror: the rollup levels as explicit UNION ALL with
+    // literal gid values; SUM(BIGINT) is HUGEINT in DuckDB → CAST
+    // back to BIGINT (the r01 dtype invariant); the token-count CASE
+    // mirrors TextAnalysis.tokenCount's empty-text correction
+    "q_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT source, lang, n_chars,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |              - CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS ntok
+        |  FROM documents),
+        |lv AS (
+        |  SELECT source, lang, 0 AS gid, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |         CAST(SUM(ntok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source, lang
+        |  UNION ALL
+        |  SELECT source, '<all>', 1, CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(n_chars) AS BIGINT), CAST(SUM(ntok) AS BIGINT)
+        |  FROM t GROUP BY source
+        |  UNION ALL
+        |  SELECT '<all>', '<all>', 3, CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(n_chars) AS BIGINT), CAST(SUM(ntok) AS BIGINT)
+        |  FROM t)
+        |SELECT source, lang, CAST(gid AS INT) AS gid, n_docs, n_chars,
+        |       n_tokens, CAST(n_tokens AS DOUBLE) / n_docs AS mean_tokens
+        |FROM lv
+        |ORDER BY source, lang, gid, n_docs, n_chars, n_tokens, mean_tokens""".stripMargin,
+    // distinctiveTerms mirror: identical tokenization, tf/df exact
+    // counts, one double division, row_number with the same
+    // (score DESC, term) tiebreak
+    "q_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, term
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents), unnest(toks) u(term)
+        |  WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY term),
+        |r AS (
+        |  SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank, term, tf, df, score""".stripMargin,
   )
 }

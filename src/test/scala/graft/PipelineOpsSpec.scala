@@ -679,6 +679,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got(4L) == ((4L, 3L, 2L, 1L, 2L, 0.5, 1.0)))
   }
 
+  test("corpusMix: per-(source, lang) stats with rollup margins, '<all>' labels") {
+    val docs = Seq(
+      (1L, "a b", "en", "web", 3L), (2L, "c", "en", "web", 1L),
+      (3L, "d e f", "de", "book", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.corpusMix(docs)
+      .select("source", "lang", "gid", "n_docs", "n_chars", "n_tokens", "mean_tokens")
+      .as[(String, String, Int, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got(("web", "en")) == (("web", "en", 0, 2L, 4L, 3L, 1.5)))
+    assert(got(("book", "de")) == (("book", "de", 0, 1L, 5L, 3L, 3.0)))
+    assert(got(("web", "<all>")) == (("web", "<all>", 1, 2L, 4L, 3L, 1.5)))
+    assert(got(("<all>", "<all>")) == (("<all>", "<all>", 3, 3L, 9L, 6L, 2.0)))
+  }
+
+  test("distinctiveTerms: tf/df rational scoring, per-doc top-k, term tiebreak") {
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.distinctiveTerms(docs, k = 2)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .as[(Long, Int, String, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got((1L, 1)) == ((1L, 1, "x", 2L, 1L, 2.0)))
+    assert(got((1L, 2)) == ((1L, 2, "y", 1L, 2L, 0.5)))
+    assert(got((2L, 1)) == ((2L, 1, "z", 1L, 1L, 1.0)))
+    assert(got((2L, 2)) == ((2L, 2, "y", 1L, 2L, 0.5)))
+  }
+
   test("contamination: bench-gram hits per doc, zero-gram docs kept") {
     val docs = Seq(
       (10L, "p q r s t u"),  // both 5-grams hit
