@@ -125,6 +125,10 @@ object PipelineBench {
     if (only("repetition")) timedWrite("repetition",
       graft.operators.TextAnalysis.repetitionStats(docs))
 
+    // ---- distinctive terms (tf explode + df agg + top-k window) --------
+    if (only("keywords")) timedWrite("keywords",
+      graft.operators.TextAnalysis.distinctiveTerms(docs, 5))
+
     // ---- k-means quantizer build (the learned-centroid path) -----------
     if (only("kmeans")) {
       val t0 = System.nanoTime()
