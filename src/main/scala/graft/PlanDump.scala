@@ -131,6 +131,12 @@ object PlanDump {
         "bench grams (eval set, small by contract) broadcast; document grams are probed map-side and partial-aggregated per doc before the only exchange — gram rows never shuffle",
         TextAnalysis.contamination(Tables.documents(spark, sf),
           Tables.documents(spark, sf).where(col("doc_id") % 97 === 0))),
+      ("corpus-mix report: ONE grouping-sets pass (Expand → partial agg → one exchange)",
+        "doc/char/token totals per (source, lang) plus all rollup margins share a single scan and shuffle",
+        TextAnalysis.corpusMix(Tables.documents(spark, sf))),
+      ("distinctive terms: tf agg → AQE-decided df join → WindowGroupLimit top-k",
+        "no forced broadcast anywhere (a web-scale vocabulary is unbounded); the top-k window carries only (doc_id, term, counts) and is trimmed map-side",
+        TextAnalysis.distinctiveTerms(Tables.documents(spark, sf), 3)),
       ("incremental dedup: new-batch candidates against the persisted band index",
         "only the new batch's text is shingled (pure projection); the join runs on compact (band, bucket) index rows — the old corpus is never re-read as text",
         {

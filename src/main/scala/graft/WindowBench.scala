@@ -66,11 +66,13 @@ object WindowBench {
       stage(ptsDir)(
         Signals.latencyPoints(turns).where(col("v").isNotNull))
       val ntz = "timestamp_ntz" // match pts' parquet type for unionByName
+      // exact integer div on epoch-µs (the rangeJoin bucket rule: a
+      // double quotient within one ulp of an integer flips the bucket)
       stage(refsDir)(spark.read.parquet(ptsDir)
         .groupBy(col("key"),
-          timestamp_micros((unix_micros(col("ts").cast("timestamp"))
-            .divide(600000000L)).cast("long") * 600000000L)
-            .cast(ntz).as("ts"))
+          timestamp_micros(
+            expr("unix_micros(cast(ts as timestamp)) div 600000000L") *
+              600000000L).cast(ntz).as("ts"))
         .agg(avg(col("v")).as("rv")))
       stage(ivDir)(SeriesOps.sessions(spark.read.parquet(ptsDir), 300L)
         .select(col("key"), col("session_seq"),

@@ -31,11 +31,7 @@ object Dedup {
     * per array element, so an inline split turns shingling O(n²)
     * (measured 11× slower at 5k docs). */
   def shinglesOf(toks: Column, n: Int): Column =
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      x => x.isNotNull))
+    array_distinct(TextAnalysis.gramsOf(toks, n))
 
   /** Column-API convenience (small inputs / tests). */
   def shingles(text: Column, n: Int): Column =

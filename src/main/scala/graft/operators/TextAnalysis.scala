@@ -175,12 +175,15 @@ object TextAnalysis {
     * distinct — repetition metrics need the duplicate occurrences the
     * dedup signatures deliberately discard). Same staging rule: pass a
     * bound token column, never an inline split. */
-  def gramsOf(toks: Column, n: Int): Column =
+  def gramsOf(toks: Column, n: Int): Column = {
+    require(n >= 1, "gram size must be at least 1 (n = 0 would make " +
+      "every empty-string pseudo-gram equal and wreck the fractions)")
     filter(
       transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => when(i + n <= size(toks),
           concat_ws(" ", slice(toks, i + 1, lit(n))))),
       x => x.isNotNull)
+  }
 
   /** Per-document repetition metrics — the public Gopher repetition
     * filters (Rae et al. 2021 §A1.1 "repetitious text"; C4, Raffel et
@@ -239,20 +242,31 @@ object TextAnalysis {
     * '<all>' (never NULL — a NULL label would flip the column
     * nullable and trip dtype-strict gates), `gid` disambiguates
     * levels (0 = per (source, lang), 1 = per source, 3 = grand
-    * total). mean_tokens is a single int→double division —
-    * byte-exact cross-engine. */
-  def corpusMix(docs: DataFrame): DataFrame =
+    * total). A genuinely-NULL source/lang VALUE surfaces as '<null>',
+    * decided by grouping() — not by coalesce, which would collapse a
+    * real NULL group at gid=0 into the same label as the rollup
+    * margin. mean_tokens is a single int→double division — byte-exact
+    * cross-engine. */
+  def corpusMix(docs: DataFrame): DataFrame = {
+    // grouped-out? is read from the gid BITS (bit 1 = source, bit 0 =
+    // lang under ROLLUP(source, lang)) — grouping() itself is only
+    // legal inside the aggregate, and a plain coalesce would collapse
+    // a real NULL group into the margin label
+    def label(c: Column, bit: Int) =
+      when(col("gid").bitwiseAND(bit) =!= 0, "<all>")
+        .otherwise(coalesce(c, lit("<null>")))
     docs
       .rollup(col("source"), col("lang"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("n_chars"),
         sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
       .select(
-        coalesce(col("source"), lit("<all>")).as("source"),
-        coalesce(col("lang"), lit("<all>")).as("lang"),
+        label(col("source"), 2).as("source"),
+        label(col("lang"), 1).as("lang"),
         col("gid").cast("int").as("gid"),
         col("n_docs"), col("n_chars"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("n_docs")).as("mean_tokens"))
+  }
 
   // ---- distinctive-term extraction -------------------------------------
 

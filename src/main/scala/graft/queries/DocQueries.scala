@@ -740,8 +740,13 @@ object DocQueries extends QuerySet {
     // back to BIGINT (the r01 dtype invariant); the token-count CASE
     // mirrors TextAnalysis.tokenCount's empty-text correction
     "q_corpus_mix" ->
+      // a genuinely-NULL source/lang VALUE groups as its own row and
+      // surfaces as '<null>' (mirror of the engine's grouping()-based
+      // labels — coalescing NULL values to '<all>' would collide with
+      // the rollup margins)
       """WITH t AS (
-        |  SELECT source, lang, n_chars,
+        |  SELECT COALESCE(source, '<null>') AS source,
+        |         COALESCE(lang, '<null>') AS lang, n_chars,
         |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
         |              - CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS ntok
         |  FROM documents),

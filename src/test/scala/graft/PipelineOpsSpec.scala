@@ -694,6 +694,29 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got(("<all>", "<all>")) == (("<all>", "<all>", 3, 3L, 9L, 6L, 2.0)))
   }
 
+  test("corpusMix: NULL group values label '<null>', never collide with margins") {
+    val docs = Seq(
+      (1L, "a b", Some("en"), "web", 3L),
+      (2L, "c", None, "web", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.corpusMix(docs)
+      .select("source", "lang", "gid", "n_docs")
+      .as[(String, String, Int, Long)].collect().toSet
+    // the NULL-lang doc is its own gid=0 group, distinct from the
+    // gid=1 per-source margin
+    assert(got.contains(("web", "<null>", 0, 1L)))
+    assert(got.contains(("web", "en", 0, 1L)))
+    assert(got.contains(("web", "<all>", 1, 2L)))
+    assert(got.contains(("<all>", "<all>", 3, 2L)))
+  }
+
+  test("gramsOf rejects n < 1 (empty pseudo-grams would wreck the fractions)") {
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.gramsOf(col("toks"), 0)
+    }
+    assert(e.getMessage.contains("at least 1"))
+  }
+
   test("distinctiveTerms: tf/df rational scoring, per-doc top-k, term tiebreak") {
     val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
     val got = TextAnalysis.distinctiveTerms(docs, k = 2)
