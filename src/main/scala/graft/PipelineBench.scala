@@ -129,6 +129,12 @@ object PipelineBench {
     if (only("keywords")) timedWrite("keywords",
       graft.operators.TextAnalysis.distinctiveTerms(docs, 5))
 
+    // ---- decontamination (broadcast bench-gram probe over the scan) ----
+    // bench = 1/997 of the corpus (~1k docs) standing in for an eval set
+    if (only("contamination")) timedWrite("contamination",
+      graft.operators.TextAnalysis.contamination(docs,
+        docs.where(col("doc_id") % 997 === 0)))
+
     // ---- k-means quantizer build (the learned-centroid path) -----------
     if (only("kmeans")) {
       val t0 = System.nanoTime()
