@@ -694,6 +694,33 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got(("<all>", "<all>")) == (("<all>", "<all>", 3, 3L, 9L, 6L, 2.0)))
   }
 
+  test("repetitionStats: randomized docs match a brute-force reference count") {
+    // 300 seeded-random docs over a tiny vocabulary (forces heavy
+    // duplication) + adversarial shapes: empty-ish, single token,
+    // all-identical, alternating. The engine's sorted-array run-length
+    // fold must equal a Map-based brute force on every doc.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "ab", "ba")
+    val texts =
+      (0 until 300).map(_ => Seq.fill(rnd.nextInt(12) + 1)(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+        Seq("x", "x x", "x x x x x x x x", "a b a b a b a b a")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .select("doc_id", "n_grams", "uniq_grams", "top_gram_n")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size)
+      val (n, u, top) =
+        (grams.size.toLong, counts.size.toLong,
+          if (counts.isEmpty) 0L else counts.values.max.toLong)
+      assert(got(i.toLong) == ((i.toLong, n, u, top)), s"doc $i: '$t'")
+    }
+  }
+
   test("corpusMix: NULL group values label '<null>', never collide with margins") {
     val docs = Seq(
       (1L, "a b", Some("en"), "web", 3L),
