@@ -119,6 +119,19 @@ object AlgebraQueries extends QuerySet {
     // value sums, replayed verbatim by the oracle's window chain
     "q_sessions" -> ((s, dir) =>
       ordered(SeriesOps.sessions(eventPoints(s, dir), gapSeconds = 21600L))),
+    // layout-invariance twin: the SAME sessionization over the points
+    // staged as a key-bucketed, (key, ts)-sorted table — the layout
+    // the window family runs exchange-free on (BucketedCascadeSpec,
+    // BENCH.md window table). Certified against the SAME oracle SQL:
+    // the physical layout must not change a single output byte
+    "q_sessions_bucketed" -> ((s, dir) => {
+      val base = freshDir(s"graft_qsb_${math.abs(dir.hashCode).toString}")
+      val tbl = s"qsb_pts_${math.abs(base.hashCode).toString}"
+      eventPoints(s, dir).repartition(8, col("key"))
+        .write.mode("overwrite").bucketBy(8, "key").sortBy("key", "ts")
+        .option("path", s"$base/pts").saveAsTable(tbl)
+      ordered(SeriesOps.sessions(s.table(tbl), gapSeconds = 21600L))
+    }),
     // streaming twin: the SAME corpus replayed as a bounded file
     // stream in 3 hash-chunked micro-batches through the native
     // session_window state machinery (complete mode — sessions split
@@ -251,6 +264,7 @@ object AlgebraQueries extends QuerySet {
     // (the r01 dtype lesson); the cumulative frame is spelled ROWS
     // UNBOUNDED PRECEDING to match Spark's exactly
     "q_sessions" -> sessionsOracle,
+    "q_sessions_bucketed" -> sessionsOracle,
     // the streaming replay must converge to the BATCH sessionization
     // bit-for-bit — the oracle is the identical SQL
     "q_streaming_sessions" -> sessionsOracle,
