@@ -70,9 +70,21 @@ object SeriesAlgebra {
     * `right` must be unique per (key, ts) — with duplicates there is
     * no deterministic "latest" row in any engine. Left rows before
     * their key's first reference row keep NULL right values (left
-    * semantics). */
+    * semantics).
+    *
+    * `direction`/`strict` complete the ASOF comparison surface the
+    * same way DuckDB's `ASOF LEFT JOIN ON l.ts {>=,>,<=,<} r.ts`
+    * spells it: backward+inclusive (≥, the default), backward+strict
+    * (>), forward+inclusive (≤), forward+strict (<). The forward
+    * directions sort time DESCENDING in the same single shared
+    * window; strictness only flips whether a ref at exactly probe.ts
+    * sorts before or after the probe — everything else (one
+    * exchange, one sort, any number of right columns) is unchanged. */
   def asofJoin(left: DataFrame, right: DataFrame,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String], direction: String = "backward",
+      strict: Boolean = false): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward or forward, got: $direction")
     val leftVals = left.columns.filterNot(Set("key", "ts")).toSeq
     require(leftVals.intersect(rightVals).isEmpty,
       s"overlapping value columns: ${leftVals.intersect(rightVals)}")
@@ -85,8 +97,12 @@ object SeriesAlgebra {
     val refs = r.select(
       Seq(col("key"), col("ts")) ++ leftVals.map(nullOf(left, _)) ++
         rightVals.map(col) :+ lit(1).as("__ref"): _*)
+    val time = if (direction == "backward") col("ts").asc else col("ts").desc
+    // inclusive: a ref at the probe's exact ts must already be in the
+    // frame → refs sort first at equal ts; strict: refs sort after
+    val tie = if (strict) col("__ref").asc else col("__ref").desc
     val w = Window.partitionBy(col("key"))
-      .orderBy(col("ts").asc, col("__ref").desc)
+      .orderBy(time, tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rightVals.foldLeft(probes.unionByName(refs)) { (df, n) =>
       df.withColumn(n, last(col(n), ignoreNulls = true).over(w))

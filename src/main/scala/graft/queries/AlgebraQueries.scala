@@ -96,6 +96,19 @@ object AlgebraQueries extends QuerySet {
           count(lit(1))).as("rv"))
       ordered(SeriesAlgebra.asofJoin(p, hourly, Seq("rv")))
     }),
+    // forward as-of (earliest ref at-or-after each probe): the same
+    // single-window shape with time sorted DESC — certified against
+    // DuckDB's native ASOF with the <= comparison (the strict
+    // variants are pinned by boundary-case specs instead: this
+    // corpus has no probe exactly on an hour tick, so a strict
+    // oracle row would not actually exercise the distinction)
+    "q_asof_forward" -> ((s, dir) => {
+      val p = eventPoints(s, dir).select("key", "ts", "v")
+      val hourly = p.groupBy(col("key"), date_trunc("hour", col("ts")).as("ts"))
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("rv"))
+      ordered(SeriesAlgebra.asofJoin(p, hourly, Seq("rv"), direction = "forward"))
+    }),
     // bucketized interval join (SURVEY §2.6): deterministic md5-class
     // anchor events become ±30 min windows; every point lands in its
     // key's overlapping windows via the (key, hour-bucket) equi-join,
@@ -247,6 +260,14 @@ object AlgebraQueries extends QuerySet {
          |  FROM pts GROUP BY 1, 2)
          |SELECT p.key AS key, p.ts AS ts, p.v AS v, hr.rv AS rv
          |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts >= hr.rts
+         |ORDER BY key, ts, v, rv""".stripMargin,
+    "q_asof_forward" ->
+      s"""$ptsCte, hr AS (
+         |  SELECT key, date_trunc('hour', ts) AS rts,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS rv
+         |  FROM pts GROUP BY 1, 2)
+         |SELECT p.key AS key, p.ts AS ts, p.v AS v, hr.rv AS rv
+         |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts <= hr.rts
          |ORDER BY key, ts, v, rv""".stripMargin,
     "q_range_join" ->
       s"""$ptsCte, anch AS (

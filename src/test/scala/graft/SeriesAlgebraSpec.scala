@@ -137,4 +137,26 @@ class SeriesAlgebraSpec extends SparkSpecBase {
       .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
     assert(gotB == got)
   }
+
+  test("asofJoin direction/strict: the four ASOF comparisons at exact-tie boundaries") {
+    // probes at 0..5 min; refs AT probe instants 1 min (10) and 3 min
+    // (30) — every variant differs precisely at the tie rows
+    val probes = pts("a", xs)
+    val refs = Seq(("a", t(60), 10.0), ("a", t(180), 30.0)).toDF("key", "ts", "rv")
+    def run(direction: String, strict: Boolean) =
+      SeriesAlgebra.asofJoin(probes, refs, Seq("rv"), direction, strict)
+        .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    // backward inclusive (>=): tie row sees its own-instant ref
+    assert(run("backward", strict = false) ==
+      Seq(None, Some(10.0), Some(10.0), Some(30.0), Some(30.0), Some(30.0)))
+    // backward strict (>): tie rows fall back to the previous ref
+    assert(run("backward", strict = true) ==
+      Seq(None, None, Some(10.0), Some(10.0), Some(30.0), Some(30.0)))
+    // forward inclusive (<=): earliest ref at-or-after; tail is NULL
+    assert(run("forward", strict = false) ==
+      Seq(Some(10.0), Some(10.0), Some(30.0), Some(30.0), None, None))
+    // forward strict (<): tie rows skip ahead to the NEXT ref
+    assert(run("forward", strict = true) ==
+      Seq(Some(10.0), Some(30.0), Some(30.0), None, None, None))
+  }
 }
