@@ -109,6 +109,37 @@ object SeriesAlgebra {
     }.where(col("__ref") === 0).drop("__ref")
   }
 
+  /** Nearest as-of: attach the right-side values whose ts is CLOSEST
+    * to each left row's ts within the key, in either direction
+    * (pandas merge_asof direction='nearest'; exact ties go backward,
+    * the pandas convention). Composed from the two certified
+    * directional passes — each ref's own timestamp rides along as an
+    * extra right value, and a final projection compares the exact
+    * integer µs distances (no float arithmetic can misorder a tie).
+    * Costs the two directional window passes (two exchanges); a row
+    * with refs on only one side takes that side. */
+  def asofNearest(left: DataFrame, right: DataFrame,
+      rightVals: Seq[String]): DataFrame = {
+    def tagged(sfx: String) = right.select(
+      Seq(col("key"), col("ts")) ++
+        rightVals.map(c => col(c).as(s"__${c}_$sfx")) :+
+        col("ts").as(s"__rts_$sfx"): _*)
+    val withB = asofJoin(left, tagged("b"),
+      rightVals.map(c => s"__${c}_b") :+ "__rts_b")
+    val withBoth = asofJoin(withB, tagged("f"),
+      rightVals.map(c => s"__${c}_f") :+ "__rts_f", direction = "forward")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    def dist(sfx: String) =
+      abs(us - unix_micros(col(s"__rts_$sfx").cast("timestamp")))
+    val useB = col("__rts_f").isNull ||
+      (col("__rts_b").isNotNull && dist("b") <= dist("f"))
+    rightVals.foldLeft(withBoth) { (df, c) =>
+        df.withColumn(c, when(useB, col(s"__${c}_b")).otherwise(col(s"__${c}_f")))
+      }
+      .drop(rightVals.flatMap(c => Seq(s"__${c}_b", s"__${c}_f")) ++
+        Seq("__rts_b", "__rts_f"): _*)
+  }
+
   /** Bucketized interval (range) join: every point row joined to every
     * interval row of the same key with `ts ∈ [startCol, endCol]`
     * (inclusive both ends — ANSI `BETWEEN`, which the oracle uses

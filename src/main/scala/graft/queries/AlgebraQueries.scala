@@ -109,6 +109,17 @@ object AlgebraQueries extends QuerySet {
           count(lit(1))).as("rv"))
       ordered(SeriesAlgebra.asofJoin(p, hourly, Seq("rv"), direction = "forward"))
     }),
+    // nearest as-of (pandas merge_asof direction='nearest', ties →
+    // backward): composed from the two certified directional passes;
+    // the oracle chains two native ASOF joins and picks the side by
+    // exact integer µs distance
+    "q_asof_nearest" -> ((s, dir) => {
+      val p = eventPoints(s, dir).select("key", "ts", "v")
+      val hourly = p.groupBy(col("key"), date_trunc("hour", col("ts")).as("ts"))
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("rv"))
+      ordered(SeriesAlgebra.asofNearest(p, hourly, Seq("rv")))
+    }),
     // bucketized interval join (SURVEY §2.6): deterministic md5-class
     // anchor events become ±30 min windows; every point lands in its
     // key's overlapping windows via the (key, hour-bucket) equi-join,
@@ -268,6 +279,21 @@ object AlgebraQueries extends QuerySet {
          |  FROM pts GROUP BY 1, 2)
          |SELECT p.key AS key, p.ts AS ts, p.v AS v, hr.rv AS rv
          |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts <= hr.rts
+         |ORDER BY key, ts, v, rv""".stripMargin,
+    "q_asof_nearest" ->
+      s"""$ptsCte, hr AS (
+         |  SELECT key, date_trunc('hour', ts) AS rts,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS rv
+         |  FROM pts GROUP BY 1, 2)
+         |SELECT p.key AS key, p.ts AS ts, p.v AS v,
+         |       CASE WHEN f.rts IS NULL THEN b.rv
+         |            WHEN b.rts IS NULL THEN f.rv
+         |            WHEN epoch_us(p.ts) - epoch_us(b.rts)
+         |                 <= epoch_us(f.rts) - epoch_us(p.ts) THEN b.rv
+         |            ELSE f.rv END AS rv
+         |FROM pts p
+         |ASOF LEFT JOIN hr b ON p.key = b.key AND p.ts >= b.rts
+         |ASOF LEFT JOIN hr f ON p.key = f.key AND p.ts <= f.rts
          |ORDER BY key, ts, v, rv""".stripMargin,
     "q_range_join" ->
       s"""$ptsCte, anch AS (

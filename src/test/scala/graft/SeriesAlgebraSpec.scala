@@ -158,5 +158,11 @@ class SeriesAlgebraSpec extends SparkSpecBase {
     // forward strict (<): tie rows skip ahead to the NEXT ref
     assert(run("forward", strict = true) ==
       Seq(Some(10.0), Some(30.0), Some(30.0), None, None, None))
+    // nearest (ties → backward): probe 120 is equidistant (60 µs-min
+    // each way) → backward ref wins; one-sided rows take that side
+    val nearest = SeriesAlgebra.asofNearest(probes, refs, Seq("rv"))
+      .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    assert(nearest ==
+      Seq(Some(10.0), Some(10.0), Some(10.0), Some(30.0), Some(30.0), Some(30.0)))
   }
 }
