@@ -308,6 +308,13 @@ object VecExpressions {
     require(dim >= 1 && keep >= 1 && centIds.nonEmpty &&
       centEmbs.length == centIds.length * dim && centNrms.length == centIds.length,
       s"cent_topk: bad shape C=${centIds.length} dim=$dim keep=$keep")
+    // the null-element path returns centIds(0..k-1) as "rank by
+    // cent_id alone", and equal-cosine ties resolve by SCAN ORDER —
+    // both silently assume strictly ascending ids, so enforce it here
+    // rather than trust every caller to pre-sort like collectCents
+    require(centIds.indices.tail.forall(i => centIds(i - 1) < centIds(i)),
+      "cent_topk: centIds must be strictly ascending (ties + the " +
+        "null-element path rank by position)")
 
     private def nCents: Int = centIds.length
     private def nKeep: Int = math.min(keep, nCents)

@@ -91,12 +91,20 @@ object SeriesAlgebra {
     val r = right.select((Seq("key", "ts") ++ rightVals).map(col): _*)
     def nullOf(df: DataFrame, n: String) =
       lit(null).cast(df.schema(n).dataType).as(n)
+    // ONE struct carries every right value: the struct is non-null on
+    // every ref row even when individual values are NULL, so the match
+    // attaches the MATCHED ROW's values verbatim — a ref row with a
+    // NULL value stays NULL (DuckDB native ASOF semantics). Carrying
+    // columns independently via per-column last(ignoreNulls) let a
+    // probe mix values from different ref rows whenever one was NULL.
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(n => r.schema(n)))
     val probes = left.select(
-      Seq(col("key"), col("ts")) ++ leftVals.map(col) ++
-        rightVals.map(nullOf(r, _)) :+ lit(0).as("__ref"): _*)
+      Seq(col("key"), col("ts")) ++ leftVals.map(col) :+
+        lit(null).cast(rvType).as("__rv") :+ lit(0).as("__ref"): _*)
     val refs = r.select(
-      Seq(col("key"), col("ts")) ++ leftVals.map(nullOf(left, _)) ++
-        rightVals.map(col) :+ lit(1).as("__ref"): _*)
+      Seq(col("key"), col("ts")) ++ leftVals.map(nullOf(left, _)) :+
+        struct(rightVals.map(col): _*).as("__rv") :+ lit(1).as("__ref"): _*)
     val time = if (direction == "backward") col("ts").asc else col("ts").desc
     // inclusive: a ref at the probe's exact ts must already be in the
     // frame → refs sort first at equal ts; strict: refs sort after
@@ -104,40 +112,68 @@ object SeriesAlgebra {
     val w = Window.partitionBy(col("key"))
       .orderBy(time, tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals.foldLeft(probes.unionByName(refs)) { (df, n) =>
-      df.withColumn(n, last(col(n), ignoreNulls = true).over(w))
-    }.where(col("__ref") === 0).drop("__ref")
+    probes.unionByName(refs)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__ref") === 0)
+      .select(Seq(col("key"), col("ts")) ++ leftVals.map(col) ++
+        rightVals.map(n => col("__rv").getField(n).as(n)): _*)
   }
 
   /** Nearest as-of: attach the right-side values whose ts is CLOSEST
     * to each left row's ts within the key, in either direction
     * (pandas merge_asof direction='nearest'; exact ties go backward,
-    * the pandas convention). Composed from the two certified
-    * directional passes — each ref's own timestamp rides along as an
-    * extra right value, and a final projection compares the exact
-    * integer µs distances (no float arithmetic can misorder a tie).
-    * Costs the two directional window passes (two exchanges); a row
-    * with refs on only one side takes that side. */
+    * the pandas convention).
+    *
+    * ONE union + ONE ascending (key, ts, __ref) window sort serves
+    * BOTH directions (plan-gated: exactly one Exchange, same as a
+    * single directional pass — the previous chained-passes form paid
+    * the shuffle twice): the backward candidate is
+    * `last(__rv, ignoreNulls)` over `unboundedPreceding..currentRow`,
+    * the forward candidate `first(__rv, ignoreNulls)` over
+    * `currentRow..unboundedFollowing` — same partitioning AND
+    * ordering, so both frames share one sort. Refs sort before probes
+    * at equal ts, which makes the equal-ts tie free: an exact-ts ref
+    * lands in the backward frame at integer distance 0 and
+    * ties-go-backward picks it regardless of which frame saw it. Each
+    * ref's own timestamp rides inside the struct, and the final
+    * projection compares exact integer µs distances (no float
+    * arithmetic can misorder a tie); a row with refs on only one side
+    * takes that side. */
   def asofNearest(left: DataFrame, right: DataFrame,
       rightVals: Seq[String]): DataFrame = {
-    def tagged(sfx: String) = right.select(
-      Seq(col("key"), col("ts")) ++
-        rightVals.map(c => col(c).as(s"__${c}_$sfx")) :+
-        col("ts").as(s"__rts_$sfx"): _*)
-    val withB = asofJoin(left, tagged("b"),
-      rightVals.map(c => s"__${c}_b") :+ "__rts_b")
-    val withBoth = asofJoin(withB, tagged("f"),
-      rightVals.map(c => s"__${c}_f") :+ "__rts_f", direction = "forward")
+    val leftVals = left.columns.filterNot(Set("key", "ts")).toSeq
+    require(leftVals.intersect(rightVals).isEmpty,
+      s"overlapping value columns: ${leftVals.intersect(rightVals)}")
+    val r = right.select((Seq("key", "ts") ++ rightVals).map(col): _*)
+    def nullOf(df: DataFrame, n: String) =
+      lit(null).cast(df.schema(n).dataType).as(n)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(n => r.schema(n)) :+
+        org.apache.spark.sql.types.StructField("__rts", r.schema("ts").dataType))
+    val probes = left.select(
+      Seq(col("key"), col("ts")) ++ leftVals.map(col) :+
+        lit(null).cast(rvType).as("__rv") :+ lit(0).as("__ref"): _*)
+    val refs = r.select(
+      Seq(col("key"), col("ts")) ++ leftVals.map(nullOf(left, _)) :+
+        struct(rightVals.map(col) :+ col("ts").as("__rts"): _*).as("__rv") :+
+        lit(1).as("__ref"): _*)
+    val ordKeys = Seq(col("ts").asc, col("__ref").desc)
+    val wB = Window.partitionBy(col("key")).orderBy(ordKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("key")).orderBy(ordKeys: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val us = unix_micros(col("ts").cast("timestamp"))
-    def dist(sfx: String) =
-      abs(us - unix_micros(col(s"__rts_$sfx").cast("timestamp")))
-    val useB = col("__rts_f").isNull ||
-      (col("__rts_b").isNotNull && dist("b") <= dist("f"))
-    rightVals.foldLeft(withBoth) { (df, c) =>
-        df.withColumn(c, when(useB, col(s"__${c}_b")).otherwise(col(s"__${c}_f")))
-      }
-      .drop(rightVals.flatMap(c => Seq(s"__${c}_b", s"__${c}_f")) ++
-        Seq("__rts_b", "__rts_f"): _*)
+    def dist(c: Column) =
+      abs(us - unix_micros(c.getField("__rts").cast("timestamp")))
+    val useB = col("__f").isNull ||
+      (col("__b").isNotNull && dist(col("__b")) <= dist(col("__f")))
+    val pick = when(useB, col("__b")).otherwise(col("__f"))
+    probes.unionByName(refs)
+      .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
+      .where(col("__ref") === 0)
+      .select(Seq(col("key"), col("ts")) ++ leftVals.map(col) ++
+        rightVals.map(n => pick.getField(n).as(n)): _*)
   }
 
   /** Bucketized interval (range) join: every point row joined to every

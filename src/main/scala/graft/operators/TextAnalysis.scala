@@ -142,9 +142,12 @@ object TextAnalysis {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .mapPartitions { it =>
-        var cur = Int.MinValue; var bin = 0L; var fill = 0L
+        // explicit first-row flag, never a sentinel shard value: the
+        // shard expression is caller-supplied, so a genuine
+        // Int.MinValue shard must open a fresh bin like any other
+        var seen = false; var cur = 0; var bin = 0L; var fill = 0L
         it.map { case (sh, id, nt) =>
-          if (sh != cur) { cur = sh; bin = 0L; fill = nt }
+          if (!seen || sh != cur) { seen = true; cur = sh; bin = 0L; fill = nt }
           else if (fill + nt > budget) { bin += 1; fill = nt }
           else fill += nt
           (sh, id, nt, bin)

@@ -28,7 +28,11 @@ class AppendIndexTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   /** Append one batch atomically; rows are hash-distributed on
     * `hashCol` into `nBuckets` pb partitions (co-locating downstream
     * joins on that column). Returns false when the runId had already
-    * committed (resumed no-op). */
+    * committed (resumed no-op); an EMPTY batch commits a zero-row
+    * marker entry recording the runId — counted BEFORE any write, so
+    * no orphan data dir is ever produced, and `committed(runId)`
+    * turns true (a crash-resume driver that retries until committed()
+    * would otherwise loop forever, leaking one orphan per retry). */
   def append(rows: DataFrame, runId: String, hashCol: String): Boolean = {
     if (committed(runId)) return false
     val prev = readableHead
@@ -39,21 +43,30 @@ class AppendIndexTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       .withColumn("pb", pmod(xxhash64(col(hashCol)), lit(nBuckets.toLong)).cast("int"))
       .cache()
     try {
-      withPb.repartition(col("pb")).write
-        .partitionBy("pb")
-        .mode(SaveMode.Overwrite)
-        .parquet(s"$root/$outDir")
+      // count FIRST (one pass over the cached batch): an empty batch
+      // must short-circuit before the write or its nonce'd dir is an
+      // orphan until vacuum
       val counts = withPb.groupBy("pb").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      if (counts.isEmpty) return false // empty batch publishes nothing
       // pd is the batch label (unique per commit), so entries from
       // different batches never collide in the resolver's (pb, pd) map
       val pd = s"batch-v$newVersion"
-      val newEntries = counts.keys.toSeq.sorted.map { pb =>
-        val dir = s"$outDir/pb=$pb"
-        PartEntry(pb, pd, dir, counts(pb),
-          dirSize(java.nio.file.Paths.get(root).resolve(dir)), Seq(runId))
-      }
+      val newEntries =
+        if (counts.isEmpty)
+          // zero-row marker: dir = "" (readEntries skips empty dirs),
+          // lineage records the runId so the empty batch is resumable
+          Seq(PartEntry(0, pd, "", 0L, 0L, Seq(runId)))
+        else {
+          withPb.repartition(col("pb")).write
+            .partitionBy("pb")
+            .mode(SaveMode.Overwrite)
+            .parquet(s"$root/$outDir")
+          counts.keys.toSeq.sorted.map { pb =>
+            val dir = s"$outDir/pb=$pb"
+            PartEntry(pb, pd, dir, counts(pb),
+              dirSize(java.nio.file.Paths.get(root).resolve(dir)), Seq(runId))
+          }
+        }
       val entries =
         if (makeFull) resolvedEntries ++ newEntries
         else newEntries

@@ -177,15 +177,25 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * version instead of refusing every read, and the next commit
     * numbers past the corrupt file (its parent pointer bypasses it),
     * so the table heals instead of wedging. Parsing stays strict:
-    * this skips only unreadable HEADs, never partial entries. */
+    * this skips only CORRUPT heads (strict-parse failures on content
+    * the OS handed back), never partial entries — and never I/O
+    * failures: a transient read error on a validly committed manifest
+    * MUST surface, not fall back, or the next merge would silently
+    * resolve from an older snapshot, commit past the real HEAD, and
+    * vacuum would then sweep the bypassed version's live data dirs
+    * (permanent data loss from one flaky read). An expired/missing
+    * file below HEAD is skipped (expireSnapshots leaves gaps). */
   def readableHead: Int = {
     var v = currentVersion
     while (v >= 0) {
       try { manifestAt(v); return v }
-      catch { case e: Exception =>
-        System.err.println(s"graft.TierTable: manifest v$v of $root is " +
-          s"unreadable (${e.getMessage}) — falling back to v${v - 1}")
-        v -= 1
+      catch {
+        case _: java.nio.file.NoSuchFileException => v -= 1 // expired gap
+        case e: java.io.IOException => throw e // transient: never fall back
+        case e: Exception =>
+          System.err.println(s"graft.TierTable: manifest v$v of $root is " +
+            s"corrupt (${e.getMessage}) — falling back to v${v - 1}")
+          v -= 1
       }
     }
     -1
@@ -271,9 +281,13 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
 
   // ---- read ---------------------------------------------------------
 
-  private def readEntries(es: Seq[PartEntry]): DataFrame =
+  private def readEntries(es0: Seq[PartEntry]): DataFrame = {
+    // dir = "" is a zero-row marker entry (empty AppendIndexTable
+    // batch recording its runId lineage) — nothing to scan
+    val es = es0.filter(_.dir.nonEmpty)
     if (es.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
+  }
 
   /** Snapshot read: the file list comes from the resolved manifest
     * chain, never from directory listing — concurrent/crashed writers
@@ -432,9 +446,16 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
         // created them
         if (Files.exists(p))
           try manifestAt(v).entries.map(_.dir.split('/').take(2).mkString("/"))
-          catch { case _: Exception =>
-            System.err.println(s"graft.TierTable: vacuum skipping unreadable manifest v$v")
-            Nil
+          catch {
+            // an I/O failure reading an EXISTING committed manifest
+            // means the referenced set cannot be proven — ABORT the
+            // sweep rather than treat its live dirs as orphans
+            case e: java.io.IOException => throw e
+            case _: Exception =>
+              // strict-parse failure = crash-truncated content: its
+              // own nonce'd dirs are genuinely unreachable orphans
+              System.err.println(s"graft.TierTable: vacuum skipping corrupt manifest v$v")
+              Nil
           }
         else Nil
       }.toSet

@@ -653,6 +653,17 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(m == Map(1L -> 0L, 3L -> 1L, 5L -> 2L, 2L -> 0L, 4L -> 0L, 6L -> 0L))
   }
 
+  test("packSequences: a genuine Int.MinValue shard opens a fresh bin (no sentinel aliasing)") {
+    // an oversized first document in shard Int.MinValue must take
+    // bin 0 alone — the old sentinel-shard state made the first row
+    // look like a continuation and gave it bin 1
+    val docs = Seq((1L, 600L), (2L, 100L)).toDF("doc_id", "nt")
+    val got = TextAnalysis.packSequences(docs, "doc_id", col("nt"), 512L,
+        lit(Int.MinValue))
+      .orderBy("doc_id").select("bin_seq").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L))
+  }
+
   test("packSequences rejects non-integral id columns (string id would cast to null)") {
     val docs = Seq(("d1", 300L)).toDF("doc_id", "nt")
     val e = intercept[IllegalArgumentException] {

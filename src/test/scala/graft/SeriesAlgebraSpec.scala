@@ -165,4 +165,40 @@ class SeriesAlgebraSpec extends SparkSpecBase {
     assert(nearest ==
       Seq(Some(10.0), Some(10.0), Some(10.0), Some(30.0), Some(30.0), Some(30.0)))
   }
+
+  test("asofJoin attaches the MATCHED row's values verbatim — a NULL right value stays NULL") {
+    // ref at 1 min carries (10.0, x); ref at 3 min carries (NULL, y):
+    // probes at/after 3 min must see rv = NULL (the matched ROW's
+    // value, DuckDB native-ASOF semantics) — per-column carry would
+    // bleed 10.0 forward from the older ref and mix rows
+    val probes = pts("a", xs)
+    val refs = Seq(
+      ("a", t(60), Option(10.0), "x"),
+      ("a", t(180), Option.empty[Double], "y")
+    ).toDF("key", "ts", "rv", "tag")
+    val got = SeriesAlgebra.asofJoin(probes, refs, Seq("rv", "tag"))
+      .orderBy("ts").select("rv", "tag")
+      .as[(Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq(
+      (None, None), (Some(10.0), Some("x")), (Some(10.0), Some("x")),
+      (None, Some("y")), (None, Some("y")), (None, Some("y"))))
+    // same discipline on the fused nearest pass: probe at 4 min is
+    // nearer the NULL-valued ref than the non-null one
+    val near = SeriesAlgebra.asofNearest(probes, refs, Seq("rv", "tag"))
+      .orderBy("ts").select("rv", "tag")
+      .as[(Option[Double], Option[String])].collect().toSeq
+    assert(near == Seq(
+      (Some(10.0), Some("x")), (Some(10.0), Some("x")), (Some(10.0), Some("x")),
+      (None, Some("y")), (None, Some("y")), (None, Some("y"))))
+  }
+
+  test("asofNearest plans exactly one exchange (backward+forward frames share one sort)") {
+    val probes = pts("a", xs)
+    val refs = Seq(("a", t(60), 10.0), ("a", t(180), 30.0)).toDF("key", "ts", "rv")
+    val plan = SeriesAlgebra.asofNearest(probes, refs, Seq("rv"))
+      .queryExecution.executedPlan.toString
+    val ex = plan.sliding("Exchange".length).count(_ == "Exchange") -
+      plan.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
+    assert(ex == 1, s"expected one exchange:\n$plan")
+  }
 }

@@ -494,6 +494,46 @@ class TierTableSpec extends SparkSpecBase {
     assert(Rollup.present(tt.read()).collect().toSet == before)
   }
 
+  test("I/O failure on an existing committed manifest SURFACES: no silent fallback, vacuum aborts") {
+    // a transient read error on a VALID manifest must never be treated
+    // like crash-truncation: falling back would let the next merge
+    // commit past the real HEAD (dropping its updates from the chain)
+    // and vacuum would sweep that version's live dirs as orphans
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 2)
+    tt.merge(Rollup.rollupRaw(mkPts(2, 200).toDF(), "minute"), "runA")
+    tt.merge(Rollup.rollupRaw(mkPts(2, 200, 200 * 157).toDF(), "minute"), "runB")
+    val v = tt.currentVersion
+    val p = java.nio.file.Paths.get(root, "_meta", s"v$v.json")
+    val bytes = Files.readAllBytes(p)
+    // simulate EIO-class failure: a directory where the file was —
+    // Files.readAllBytes throws FileSystemException (an IOException
+    // that is NOT NoSuchFile and NOT a parse failure)
+    Files.delete(p); Files.createDirectory(p)
+    intercept[java.io.IOException] { tt.readableHead }
+    intercept[java.io.IOException] { tt.vacuum() }
+    // restore → everything reads again, nothing was lost or swept
+    Files.delete(p); Files.write(p, bytes)
+    assert(tt.readableHead == v && tt.read().count() > 0)
+  }
+
+  test("empty AppendIndexTable batch: no orphan dir, runId still committed (crash-resume terminates)") {
+    val root = tmp()
+    val idx = new graft.tables.AppendIndexTable(spark, root, nBuckets = 2)
+    val rows = Seq((1L, 0, "b0")).toDF("doc_id", "band", "bucket")
+    assert(idx.append(rows, "r0", "bucket"))
+    val dirsBefore = java.nio.file.Paths.get(root, "data").toFile.list().toSet
+    // empty batch: committed() must turn true WITHOUT writing any dir
+    assert(idx.append(rows.where(lit(false)), "rEmpty", "bucket"))
+    assert(idx.committed("rEmpty"))
+    assert(java.nio.file.Paths.get(root, "data").toFile.list().toSet == dirsBefore)
+    // replay of the empty batch is a lineage no-op, and reads skip the marker
+    val vBefore = idx.currentVersion
+    assert(!idx.append(rows.where(lit(false)), "rEmpty", "bucket"))
+    assert(idx.currentVersion == vBefore)
+    assert(idx.read().count() == 1)
+  }
+
   test("time-pruned read scans only in-range day partitions") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
