@@ -58,6 +58,41 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("n_dups"))
   }
 
+  /** C4-style cross-document line-level dedup (Raffel et al. 2020's
+    * boilerplate-removal pass): drop every line whose corpus-wide
+    * DOCUMENT frequency exceeds `maxDocFreq` (repeated headers/
+    * footers/nav text), keep everything else, and reassemble each
+    * document's surviving lines in original order. A repeated line
+    * WITHIN one document counts once toward its frequency (the filter
+    * targets cross-document boilerplate; within-doc repetition is
+    * [[TextAnalysis.repetitionStats]]' job) but every surviving copy
+    * is kept in place.
+    *
+    * Scale shape: explode to (doc_id, line_idx, line) rows; ONE
+    * exchange keyed on the line for the doc-frequency hash-agg (the
+    * partial agg condenses in-partition duplicates first) whose
+    * partitioning the filter join then reuses; ONE exchange on doc_id
+    * for the ordered reassembly. Documents whose every line dropped
+    * come back with empty text (left join), so the output is total
+    * over the input corpus. */
+  def lineDedup(docs: DataFrame, maxDocFreq: Int = 2): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), col("pos").as("line_idx"), col("col").as("line"))
+    val freq = lines.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val kept = lines.join(freq, Seq("line"))
+      .where(col("doc_freq") <= maxDocFreq)
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** k min-hash values per doc from word shingles, as array<long>.
     * Hash family: xxhash64(shingle, seed_i). Kept for tests/small
     * inputs — prefer [[minhashSignatures]] which stages the shingle

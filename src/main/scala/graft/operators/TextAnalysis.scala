@@ -156,6 +156,52 @@ object TextAnalysis {
       .toDF("shard", idCol, "n_tokens", "bin_seq")
   }
 
+  // ---- PII detection / redaction ---------------------------------------
+
+  /** PII classes as (name, regex, replacement token). The patterns are
+    * the public C4/CCNet-style corpus-filter classes (emails, dotted/
+    * dashed phone numbers, IPv4 addresses, SSN-shaped id numbers),
+    * written in the portable regex subset shared by Java regex (Spark)
+    * and RE2 (DuckDB): character classes, bounded repetition and `\b`
+    * only — no lookaround, no backreferences, ASCII `\d` in both
+    * engines. The classes are mutually non-overlapping by construction
+    * (3-3-4 phone vs 3-2-4 id digit groups; IPv4 needs three dots with
+    * ≤3-digit runs), so per-class counts and sequential redaction
+    * commute. */
+  val piiClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"))
+
+  /** PII detection + redaction — the filter pass every production
+    * corpus pipeline runs before training: per-document match counts
+    * per class (on the ORIGINAL text) plus the redacted text with
+    * each match replaced by its class token, applied in fixed class
+    * order (tokens contain no digits or '@', so a replacement can
+    * never create a later-class match). Pure scan-local projection —
+    * zero shuffle, runs inside the scan's codegen stage at any scale.
+    *
+    * Output: (doc_id, n_email, n_ip, n_phone, n_id, redacted). */
+  def piiStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val counts = piiClasses.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).cast("long").as(s"n_$name")
+    }
+    val redacted = piiClasses.foldLeft(text) { case (c, (_, pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }.as("redacted")
+    docs.select(Seq(col("doc_id")) ++ counts :+ redacted: _*)
+  }
+
+  /** Redaction-only form for pipeline composition: same rows/columns
+    * as the input with `textCol` replaced by its redacted version. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      piiClasses.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
+        regexp_replace(c, pat, tok)
+      })
+
   // ---- fingerprinting --------------------------------------------------
 
   /** Rolling-hash document fingerprint: md5 over each k-word window,

@@ -252,6 +252,45 @@ object DocQueries extends QuerySet {
     // (rank, term, score) rows replay byte-for-byte
     "q_keywords" -> ((s, dir) =>
       ordered(TextAnalysis.distinctiveTerms(Tables.documents(s, dir), 3))),
+    // PII detection + redaction: the synthetic corpus carries no PII,
+    // so the query PLANTS it deterministically (emails with per-doc
+    // local parts, dotted+dashed phones, an id-derived IPv4, an
+    // SSN-shaped id at a punctuation boundary, plus a 4-digit decoy
+    // run that must NOT match) via expressions the oracle rebuilds
+    // verbatim — certifying counts AND the redacted text byte-for-byte
+    // on real match boundaries, not on an empty result
+    "q_pii" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" call 555-123-4567 or 555.987.6543")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+              lit(".25 up 1234.5.6.7890"))).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" ssn 123-45-6789.")).otherwise(lit(""))).as("text"))
+      ordered(TextAnalysis.piiStats(d))
+    }),
+    // C4-style cross-document line-level dedup: multiline documents
+    // built deterministically (5 shared header variants and an
+    // every-other-doc footer = boilerplate to drop; the unique body
+    // and a df≤2 rare footer survive), reassembled in original line
+    // order — the oracle replays split/count/filter/reassemble with
+    // an independent unnest + GROUP BY + ordered string_agg
+    "q_line_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("header variant "), (col("doc_id") % 5).cast("string")),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 97 === 0,
+            concat(lit("rare footer "), (col("doc_id") % 3).cast("string")))
+        ).as("text"))
+      ordered(Dedup.lineDedup(d, maxDocFreq = 2))
+    }),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -789,5 +828,57 @@ object DocQueries extends QuerySet {
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
         |FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank, term, tf, df, score""".stripMargin,
+    // PII: the oracle rebuilds the planted text verbatim, counts with
+    // regexp_extract_all and redacts with the same fixed class order —
+    // the patterns live in the portable Java-regex ∩ RE2 subset
+    "q_pii" -> {
+      val aug =
+        """SELECT doc_id, text ||
+          |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+          |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567 or 555.987.6543' ELSE '' END ||
+          |  CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25 up 1234.5.6.7890' ELSE '' END ||
+          |  CASE WHEN doc_id % 17 = 0 THEN ' ssn 123-45-6789.' ELSE '' END AS text
+          |FROM documents""".stripMargin
+      val counts = graft.operators.TextAnalysis.piiClasses.map { case (n, pat, _) =>
+        s"  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$n,"
+      }.mkString("\n")
+      val redacted = graft.operators.TextAnalysis.piiClasses.foldLeft("text") {
+        case (e, (_, pat, tok)) => s"regexp_replace($e, '$pat', '$tok', 'g')"
+      }
+      s"""WITH aug AS ($aug)
+         |SELECT doc_id,
+         |$counts
+         |  $redacted AS redacted
+         |FROM aug
+         |ORDER BY doc_id, n_email, n_ip, n_phone, n_id, redacted""".stripMargin
+    },
+    // line-level dedup: independent unnest-with-index + doc-frequency
+    // GROUP BY + ordered string_agg reassembly over the same planted
+    // multiline construction
+    "q_line_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      'header variant ' || CAST(doc_id % 5 AS VARCHAR),
+        |      text,
+        |      CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
+        |      CASE WHEN doc_id % 97 = 0 THEN 'rare footer ' || CAST(doc_id % 3 AS VARCHAR) END) AS text
+        |  FROM documents),
+        |lx AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug),
+        |lines AS (
+        |  SELECT doc_id,
+        |         unnest([{'idx': i, 'ln': ls[i+1]} for i in range(0, len(ls))],
+        |                recursive := true)
+        |  FROM lx),
+        |freq AS (SELECT ln, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
+        |kept AS (
+        |  SELECT l.doc_id, l.idx, l.ln
+        |  FROM lines l JOIN freq f USING (ln) WHERE f.df <= 2),
+        |reb AS (
+        |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN reb r USING (doc_id)
+        |ORDER BY doc_id, text""".stripMargin,
   )
 }

@@ -653,6 +653,50 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(m == Map(1L -> 0L, 3L -> 1L, 5L -> 2L, 2L -> 0L, 4L -> 0L, 6L -> 0L))
   }
 
+  test("piiStats: planted PII at exact match boundaries — counts and redaction") {
+    val docs = Seq(
+      // every class once, mixed boundaries (start, punctuation, end)
+      (1L, "mail a.b+c%d@sub.example.co now 10.0.44.25, 555-123-4567 end 123-45-6789"),
+      // decoys that must NOT match: 4-digit runs break \b and {1,3},
+      // 3-2-4 vs 3-3-4 digit groups separate phone from id
+      (2L, "1234.5.6.7890 and 1234-56-7890 and user@nodot and 12-345-6789"),
+      (3L, "two phones 555.987.6543 555-111-2222 and ip at end 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiStats(docs).orderBy("doc_id")
+      .select("n_email", "n_ip", "n_phone", "n_id", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 1L, 1L, 1L,
+      "mail <EMAIL> now <IP>, <PHONE> end <ID>")))
+    assert(got(1)._1 == 0 && got(1)._2 == 0 && got(1)._3 == 0 && got(1)._4 == 0)
+    assert(got(1)._5 == "1234.5.6.7890 and 1234-56-7890 and user@nodot and 12-345-6789")
+    assert(got(2) == ((0L, 1L, 2L, 0L,
+      "two phones <PHONE> <PHONE> and ip at end <IP>")))
+    // redactPii preserves the other columns and the schema
+    val red = TextAnalysis.redactPii(docs).orderBy("doc_id")
+      .select("text").as[String].collect()
+    assert(red(0) == "mail <EMAIL> now <IP>, <PHONE> end <ID>")
+  }
+
+  test("lineDedup: boilerplate lines above the doc-frequency cap drop; order and empty docs survive") {
+    val docs = Seq(
+      (1L, "HDR\nbody one\nFOOT"),
+      (2L, "HDR\nbody two\nFOOT"),
+      (3L, "HDR\nbody three\nFOOT"),
+      (4L, "HDR\nHDR\nsolo line"), // within-doc repeat counts ONCE toward df
+      (5L, "HDR")                  // all lines dropped → empty text kept
+    ).toDF("doc_id", "text")
+    // HDR df=5, FOOT df=3 → dropped at maxDocFreq=2; bodies df=1 kept
+    val got = Dedup.lineDedup(docs, maxDocFreq = 2).orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(got == Seq("body one", "body two", "body three", "solo line", ""))
+    // at maxDocFreq=3 FOOT survives in original position, HDR (df=5,
+    // both copies of doc 4) still drops
+    val loose = Dedup.lineDedup(docs, maxDocFreq = 3).orderBy("doc_id")
+      .select("text").as[String].collect().toSeq
+    assert(loose == Seq("body one\nFOOT", "body two\nFOOT",
+      "body three\nFOOT", "solo line", ""))
+  }
+
   test("packSequences: a genuine Int.MinValue shard opens a fresh bin (no sentinel aliasing)") {
     // an oversized first document in shard Int.MinValue must take
     // bin 0 alone — the old sentinel-shard state made the first row
