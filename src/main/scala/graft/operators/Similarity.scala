@@ -87,11 +87,20 @@ object Similarity {
     graft.functions.VecExpressions.lsh_buckets(emb, tables, bits, dim)
 
   /** ANN top-k via multi-table sign-LSH + exact re-rank.
-    * `bits ≤ 0` → corpus-adaptive width via [[autoBits]]. */
+    * `bits ≤ 0` → corpus-adaptive width via [[autoBits]].
+    *
+    * `corpusSize`/`dim` are SIZE HINTS: when provided, the adaptive
+    * sizing runs no Spark jobs at plan-build time — without them,
+    * deriving dim costs a head() scan and (at bits ≤ 0) autoBits
+    * costs a full count() of the corpus, real money at 100 TB when
+    * the caller already knows both (spec-gated: zero jobs with hints).
+    * Defaults unchanged: absent hints fall back to head()/count(). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 12, tables: Int = 4): DataFrame = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val useBits = if (bits > 0) bits else autoBits(corpus.count())
+      bits: Int = 12, tables: Int = 4,
+      corpusSize: Option[Long] = None, dim0: Option[Int] = None): DataFrame = {
+    val dim = dim0.getOrElse(corpus.select(size(col("embedding"))).head().getInt(0))
+    val useBits = if (bits > 0) bits
+      else autoBits(corpusSize.getOrElse(corpus.count()))
     val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -160,15 +169,24 @@ object Similarity {
     * caps); candidate ids flow through an id-only join and vectors
     * re-attach with AQE-chosen strategy (no forced broadcast of the
     * unbounded side). */
+  /** Deterministic pivot centroid set (cent_id, cent_emb, cent_nrm):
+    * the corpus vectors with `vec_id % centroidStep == 0` — exactly
+    * the quantizer [[ivfTopK]] derives internally, public so an
+    * incrementally-maintained [[AnnIndex]] can freeze the identical
+    * set (and the certified q_ann_ivf oracle replay carries over). */
+  def pivotCentroids(corpus: DataFrame, centroidStep: Int = 64): DataFrame =
+    corpus.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        l2norm(col("embedding")).as("cent_nrm"))
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidStep: Int = 64, nProbe: Int = 4, maxList: Int = 100000): DataFrame = {
-    val step = if (centroidStep > 0) centroidStep else autoStep(corpus.count())
+      centroidStep: Int = 64, nProbe: Int = 4, maxList: Int = 100000,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val step = if (centroidStep > 0) centroidStep
+      else autoStep(corpusSize.getOrElse(corpus.count()))
     val c = corpus.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
-    val cents = c.where(col("vec_id") % step === 0)
-      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
-        col("nrm").as("cent_nrm"))
-    ivfWithCentroids(c, queries, k, cents, nProbe, maxList)
+    ivfWithCentroids(c, queries, k, pivotCentroids(corpus, step), nProbe, maxList)
   }
 
   /** Per-row argmax/top-`keep` centroid assignment as ONE compiled
@@ -193,7 +211,7 @@ object Similarity {
     * carries: (sorted cent_ids, flattened row-major embeddings as
     * exact doubles, norms, dim). The same data a `broadcast(cents)`
     * already shipped through the driver. */
-  private def collectCents(cents: DataFrame): (Array[Long], Array[Double], Array[Double], Int) = {
+  private[operators] def collectCents(cents: DataFrame): (Array[Long], Array[Double], Array[Double], Int) = {
     val rows = cents.select(col("cent_id").cast("long"), col("cent_emb"),
       col("cent_nrm").cast("double")).collect()
       .sortBy(_.getLong(0))
@@ -212,40 +230,50 @@ object Similarity {
     (ids, embs, nrms, dim)
   }
 
-  private def nearestCents(side: DataFrame, cents: DataFrame, idCol: String,
-      embCol: String, keep: Int): DataFrame = {
-    val (ids, embs, nrms, dim) = collectCents(cents)
+  private[operators] def nearestCentsArrays(side: DataFrame,
+      arrays: (Array[Long], Array[Double], Array[Double], Int),
+      idCol: String, embCol: String, keep: Int): DataFrame = {
+    val (ids, embs, nrms, dim) = arrays
     side.select(col(idCol),
       explode(graft.functions.VecExpressions.cent_topk(
         col(embCol), ids, embs, nrms, dim, keep)).as("cent_id"))
   }
 
-  /** IVF core shared by the pivot and k-means quantizers: assignment,
-    * rank-capped inverted lists, probe, exact id-only re-rank. `c` is
-    * the normalized corpus (vec_id, emb, nrm); `cents` is (cent_id,
-    * cent_emb, cent_nrm). */
-  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
-      cents: DataFrame, nProbe: Int, maxList: Int): DataFrame = {
-    def nearest(side: DataFrame, idCol: String, embCol: String,
-        keep: Int): DataFrame =
-      nearestCents(side, cents, idCol, embCol, keep)
-    // Hot-list guard: unlike the LSH bucket caps (where a dropped
-    // (table, bucket) is backed up by the other hash tables), a
-    // vector's single argmax assignment is its ONLY path into the
-    // index — dropping a whole over-full list would silently zero
-    // recall for exactly the dense clusters ANN exists for. So the cap
-    // is a RANK cap: an over-full list keeps its first `maxList`
-    // members (deterministic vec_id order, oracle-replayable), bounds
-    // per-query candidate volume at maxList, and degrades recall
-    // gracefully for the truncated tail instead of totally.
+  private def nearestCents(side: DataFrame, cents: DataFrame, idCol: String,
+      embCol: String, keep: Int): DataFrame =
+    nearestCentsArrays(side, collectCents(cents), idCol, embCol, keep)
+
+  /** Probe + exact re-rank over a PRECOMPUTED assignment row set
+    * (`assign0` = (vec_id, cent_id) — freshly computed by the one-shot
+    * quantizers below, or read back from an incrementally-maintained
+    * [[AnnIndex]]): rank-cap the inverted lists, probe each query's
+    * `nProbe` nearest centroids, re-rank candidates exactly on ids
+    * only. The rank cap is applied HERE, at query time, over the
+    * cumulative row set — never frozen at whatever a batch saw — so an
+    * incrementally-built assignment answers identically to a one-shot
+    * build of the same rows (the [[DedupIndex.candidatePairs]]
+    * discipline).
+    *
+    * Hot-list guard: unlike the LSH bucket caps (where a dropped
+    * (table, bucket) is backed up by the other hash tables), a
+    * vector's single argmax assignment is its ONLY path into the
+    * index — dropping a whole over-full list would silently zero
+    * recall for exactly the dense clusters ANN exists for. So the cap
+    * is a RANK cap: an over-full list keeps its first `maxList`
+    * members (deterministic vec_id order, oracle-replayable), bounds
+    * per-query candidate volume at maxList, and degrades recall
+    * gracefully for the truncated tail instead of totally. */
+  private[operators] def ivfProbe(c: DataFrame, queries: DataFrame, k: Int,
+      arrays: (Array[Long], Array[Double], Array[Double], Int),
+      nProbe: Int, maxList: Int, assign0: DataFrame): DataFrame = {
     val wList = Window.partitionBy(col("cent_id")).orderBy(col("vec_id"))
-    val assign = nearest(c, "vec_id", "emb", keep = 1)
+    val assign = assign0
       .withColumn("occ", row_number().over(wList))
       .where(col("occ") <= maxList)
       .drop("occ")
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       l2norm(col("embedding")).as("q_nrm"))
-    val probes = nearest(q, "q_id", "q_emb", keep = nProbe)
+    val probes = nearestCentsArrays(q, arrays, "q_id", "q_emb", keep = nProbe)
     val candIds = assign.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
@@ -258,6 +286,17 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** IVF core shared by the pivot and k-means quantizers: assignment,
+    * rank-capped inverted lists, probe, exact id-only re-rank. `c` is
+    * the normalized corpus (vec_id, emb, nrm); `cents` is (cent_id,
+    * cent_emb, cent_nrm). */
+  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nProbe: Int, maxList: Int): DataFrame = {
+    val arrays = collectCents(cents)
+    ivfProbe(c, queries, k, arrays, nProbe, maxList,
+      nearestCentsArrays(c, arrays, "vec_id", "emb", keep = 1))
   }
 
   /** Spherical k-means centroids over the embedding column — the
@@ -365,9 +404,12 @@ object Similarity {
     * bounded as the corpus grows; the explicit default 5 matches the
     * recall-certified oracle settings for 10²–10⁴ vectors. */
   def cosineSelfJoin(embeddings: DataFrame, threshold: Double,
-      bits: Int = 5, tables: Int = 16, maxBucket: Int = 10000): DataFrame = {
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
-    val useBits = if (bits > 0) bits else autoBits(embeddings.count())
+      bits: Int = 5, tables: Int = 16, maxBucket: Int = 10000,
+      corpusSize: Option[Long] = None, dim0: Option[Int] = None): DataFrame = {
+    val dim = dim0.getOrElse(
+      embeddings.select(size(col("embedding"))).head().getInt(0))
+    val useBits = if (bits > 0) bits
+      else autoBits(corpusSize.getOrElse(embeddings.count()))
     val e = embeddings.select(col("vec_id"), col("embedding").as("emb"),
       l2norm(col("embedding")).as("nrm"))
     val wBucket = Window.partitionBy(col("table"), col("bucket"))

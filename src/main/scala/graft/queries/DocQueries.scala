@@ -187,6 +187,26 @@ object DocQueries extends QuerySet {
         .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+    // INCREMENTAL embedding-index maintenance: the corpus arrives as 3
+    // vec_id-partitioned batches assigned against FROZEN pivot
+    // centroids and appended to a persistent AnnIndex (AppendIndexTable
+    // commits + runId lineage, batch 1 replayed as a crash-resume
+    // no-op); the probe over the accumulated index — rank cap applied
+    // at query time over cumulative lists — must equal one-shot
+    // ivfTopK. The oracle IS q_ann_ivf's oracle.
+    "q_ann_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val root = freshDir(s"graft_qai_${math.abs(dir.hashCode).toString}")
+      val idx = new AnnIndex(s, root, Similarity.pivotCentroids(e, 64))
+      (0 until 3).foreach { i =>
+        idx.addBatch(e.where(pmod(col("vec_id"), lit(3)) === i), s"qai_batch$i")
+      }
+      // replayed batch: lineage makes it a no-op, not duplicate rows
+      idx.addBatch(e.where(pmod(col("vec_id"), lit(3)) === 1), "qai_batch1")
+      idx.topK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
     // Recall certification with PLANTED near-duplicates: the first 20
     // vectors re-enter with one component scaled by 1.25f (exactly
     // representable, so the float arithmetic is engine-portable) →
@@ -384,6 +404,41 @@ object DocQueries extends QuerySet {
        |cl AS (
        |  SELECT u AS doc_id, least(u, min(w)) AS cluster_id
        |  FROM reach GROUP BY u)""".stripMargin
+
+  /** Full IVF pipeline replay (assignment argmax, probe set, id-only
+    * exact re-rank) — shared verbatim by q_ann_ivf (one-shot pivot
+    * quantizer) and q_ann_incremental (batch-appended AnnIndex with
+    * the same frozen pivot centroids). */
+  private lazy val ivfOracle: String =
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 64 = 0),
+      |ac AS (SELECT c.vec_id, cent_id, list_cosine_similarity(c.e, ce) AS cs
+      |       FROM c CROSS JOIN cents),
+      |assign AS (
+      |  SELECT vec_id, cent_id FROM (
+      |    SELECT vec_id, cent_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+      |    FROM ac) WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id < 5),
+      |qc AS (SELECT q_id, cent_id, list_cosine_similarity(qe, ce) AS cs
+      |       FROM q CROSS JOIN cents),
+      |probes AS (
+      |  SELECT q_id, cent_id FROM (
+      |    SELECT q_id, cent_id,
+      |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cent_id) AS rn
+      |    FROM qc) WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT q_id, vec_id
+      |  FROM assign JOIN probes USING (cent_id) WHERE vec_id <> q_id),
+      |sc AS (
+      |  SELECT cand.q_id, cand.vec_id, list_cosine_similarity(c.e, q.qe) AS cs
+      |  FROM cand JOIN c USING (vec_id) JOIN q USING (q_id)),
+      |r AS (
+      |  SELECT q_id, vec_id, cs,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+      |  FROM sc)
+      |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
+      |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   private lazy val minhashLshOracle: String =
     s"""WITH ${shCte(3)},
@@ -663,36 +718,11 @@ object DocQueries extends QuerySet {
         |SELECT s AS vec_id, least(s, min(d)) AS cluster_id
         |FROM reach GROUP BY s
         |ORDER BY vec_id, cluster_id""".stripMargin,
-    "q_ann_ivf" ->
-      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |cents AS (SELECT vec_id AS cent_id, e AS ce FROM c WHERE vec_id % 64 = 0),
-        |ac AS (SELECT c.vec_id, cent_id, list_cosine_similarity(c.e, ce) AS cs
-        |       FROM c CROSS JOIN cents),
-        |assign AS (
-        |  SELECT vec_id, cent_id FROM (
-        |    SELECT vec_id, cent_id,
-        |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
-        |    FROM ac) WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, e AS qe FROM c WHERE vec_id < 5),
-        |qc AS (SELECT q_id, cent_id, list_cosine_similarity(qe, ce) AS cs
-        |       FROM q CROSS JOIN cents),
-        |probes AS (
-        |  SELECT q_id, cent_id FROM (
-        |    SELECT q_id, cent_id,
-        |           row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, cent_id) AS rn
-        |    FROM qc) WHERE rn <= 4),
-        |cand AS (
-        |  SELECT DISTINCT q_id, vec_id
-        |  FROM assign JOIN probes USING (cent_id) WHERE vec_id <> q_id),
-        |sc AS (
-        |  SELECT cand.q_id, cand.vec_id, list_cosine_similarity(c.e, q.qe) AS cs
-        |  FROM cand JOIN c USING (vec_id) JOIN q USING (q_id)),
-        |r AS (
-        |  SELECT q_id, vec_id, cs,
-        |         row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
-        |  FROM sc)
-        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
-        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf" -> ivfOracle,
+    // incremental index ≡ one-shot: the oracle IS q_ann_ivf's (the
+    // accumulated assignment rows are a pure per-vector function of
+    // (embedding, frozen centroids), so the replay is unchanged)
+    "q_ann_incremental" -> ivfOracle,
     "q_ann_lsh" -> {
       val (bits, tables, dim) = (8, 6, 64)
       val cb = (0 until tables).map(t =>

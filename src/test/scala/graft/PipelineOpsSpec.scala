@@ -653,6 +653,82 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(m == Map(1L -> 0L, 3L -> 1L, 5L -> 2L, 2L -> 0L, 4L -> 0L, 6L -> 0L))
   }
 
+  test("ANN size hints: adaptive sizing runs ZERO jobs when corpusSize/dim are provided") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val e = (0 until 64).map(i =>
+      (i.toLong, Array.fill(8)((i % 7).toFloat + 0.1f))).toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") < 2)
+    def jobsDuring(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = { n.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(800) } finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    // hinted adaptive lsh/cosine: building the plan triggers no job at all
+    assert(jobsDuring {
+      Similarity.lshTopK(e, q, 5, bits = -1, tables = 2,
+        corpusSize = Some(64L), dim0 = Some(8))
+      Similarity.cosineSelfJoin(e, 0.9, bits = -1, tables = 2,
+        corpusSize = Some(64L), dim0 = Some(8))
+      ()
+    } == 0)
+    // hinted adaptive ivf pays at most the inherent centroid collect
+    // (zero jobs on a local relation); the unhinted form adds the
+    // corpus count() on top
+    val hinted = jobsDuring {
+      Similarity.ivfTopK(e, q, 5, centroidStep = -1, corpusSize = Some(64L)); ()
+    }
+    val unhinted = jobsDuring {
+      Similarity.ivfTopK(e, q, 5, centroidStep = -1); ()
+    }
+    assert(hinted < unhinted, s"hinted=$hinted unhinted=$unhinted")
+    // hints change sizing inputs only, never results
+    val a = Similarity.lshTopK(e, q, 5, bits = -1, tables = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.lshTopK(e, q, 5, bits = -1, tables = 2,
+        corpusSize = Some(64L), dim0 = Some(8))
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("incremental ANN index: batch appends + crash resume ≡ one-shot ivfTopK") {
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    val idx = new AnnIndex(spark, root, Similarity.pivotCentroids(e, 16))
+    (0 until 3).foreach { b =>
+      idx.addBatch(e.where(pmod(col("vec_id"), lit(3)) === b), s"b$b")
+    }
+    // crash-resume: replaying a committed batch is a lineage no-op
+    val vBefore = idx.table.currentVersion
+    assert(!idx.addBatch(e.where(pmod(col("vec_id"), lit(3)) === 1), "b1"))
+    assert(idx.table.currentVersion == vBefore)
+    // accumulated assignments == one-shot assignment of the union
+    val nVecs = e.count()
+    assert(idx.assignments.count() == nVecs)
+    // probe over the cumulative index == one-shot ivfTopK, row for row
+    val queries = e.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "vec_id", "cos")
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val inc = rows(idx.topK(e, queries, 10))
+    val one = rows(Similarity.ivfTopK(e, queries, 10, centroidStep = 16))
+    assert(inc == one && inc.nonEmpty)
+    // a LATER batch is visible without touching earlier ones: add
+    // shifted near-dup copies of the queries, re-probe sees them
+    val planted = queries.select((col("vec_id") + 10000).as("vec_id"),
+      col("embedding"))
+    idx.addBatch(planted, "b3")
+    val withNew = rows(idx.topK(e.unionByName(planted), queries, 10))
+    assert((0 until 5).forall { q =>
+      withNew.exists { case (qid, rank, vid, _) =>
+        qid == q && rank == 1 && vid == q + 10000 }
+    })
+  }
+
   test("piiStats: planted PII at exact match boundaries — counts and redaction") {
     val docs = Seq(
       // every class once, mixed boundaries (start, punctuation, end)
