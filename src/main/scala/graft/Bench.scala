@@ -160,7 +160,21 @@ object Bench {
     // noop write, not count(): count() lets Catalyst prune the very
     // projections being measured (a pure-projection query would time
     // as a row-count scan)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // STATEFUL rows run LAST: the tier-merge + streaming-replay
+    // queries churn 10–45 s of state-store/commit work each, and the
+    // shared JVM bleeds that state into whatever runs next — three
+    // rounds running, the alphabetical neighbor of a stateful row has
+    // read as a phantom 3–15× regression (r02 rollups, r03 1m→1h,
+    // r04 q_zscore) until someone re-measured it isolated. Ordering
+    // the catalog stateless-first keeps every comparable row's
+    // reading clean; the stateful rows only contaminate each other.
+    val stateful = Set("q_tier_merge", "q_streaming_rollup",
+      "q_streaming_dedup", "q_streaming_sessions", "q_streaming_latency",
+      "q_dedup_incremental", "q_ann_incremental")
+    val orderedQs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .sortBy { case (name, _) => stateful(name) } // stable: alpha within class
+    val results = orderedQs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { forceRun(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
