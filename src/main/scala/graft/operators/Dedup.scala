@@ -187,6 +187,65 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Substring-level exact dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): document pairs
+    * sharing a common word-substring of at least `minWords` words,
+    * with the exact longest-common-word-substring length.
+    *
+    * Two-stage, never O(n²):
+    *   1. CANDIDATES — [[TextAnalysis.winnowing]] fingerprints
+    *      (k-gram md5 window minima): pairs sharing any selected
+    *      fingerprint, occupancy-capped per fingerprint bucket (the
+    *      [[candidatesFromBanded]] guard) and self-joined on compact
+    *      (doc_id, fp) rows only. The winnowing guarantee makes this
+    *      recall-safe for matches ≥ window + k − 1 words.
+    *   2. VERIFICATION — candidates only: join the two sides' k-gram
+    *      POSITION rows on gram hash, find the longest diagonal run
+    *      (consecutive positions with constant pa − pb, the classic
+    *      islands step), and a run of R matching k-grams is exactly a
+    *      common substring of R + k − 1 words. All exact integer
+    *      arithmetic — the whole pipeline replays verbatim in SQL.
+    *
+    * Set `minWords ≥ window + k − 1` for guaranteed recall; shorter
+    * matches may still surface when their fingerprints happen to be
+    * selected. Shuffles: fingerprint self-join on fp, verification
+    * joins on (doc, gram-hash) — both bounded by candidate volume,
+    * never corpus². Output: (doc_a, doc_b, lcs_words). */
+  def substringDups(docs: DataFrame, k: Int = 4, window: Int = 4,
+      minWords: Int = 7, maxBucket: Int = 1000): DataFrame = {
+    require(minWords >= k,
+      s"minWords=$minWords below gram size $k — sub-gram matches are invisible")
+    val wFp = Window.partitionBy(col("fp"))
+    val fps = TextAnalysis.winnowing(docs, k, window)
+      .withColumn("occ", count(lit(1)).over(wFp))
+      .where(col("occ") <= maxBucket)
+      .drop("occ")
+    val cand = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // gram-position rows (doc_id, pos, g) — multiplicity + order kept
+    val grams = docs
+      .withColumn("__toks", split(lower(col("text")), "\\s+"))
+      .withColumn("__g", TextAnalysis.gramsOf(col("__toks"), k))
+      .select(col("doc_id"), posexplode_outer(col("__g")))
+      .where(col("col").isNotNull)
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
+    val matches = cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("g")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("g")), Seq("doc_b", "g"))
+    val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(wRun))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + lit(k - 1)).cast("long").as("lcs_words"))
+      .where(col("lcs_words") >= minWords)
+  }
+
   /** Exact n-gram Jaccard similarity for given pairs (verification
     * stage after LSH candidates). `pairs` has (doc_a, doc_b). */
   def jaccard(pairs: DataFrame, docs: DataFrame, shingleN: Int = 3): DataFrame = {

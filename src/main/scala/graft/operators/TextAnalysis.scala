@@ -218,6 +218,41 @@ object TextAnalysis {
         slice(array_sort(transform(col("sh"), s => md5(s))), 1, keep)
           .as("fingerprint"))
 
+  /** TRUE winnowing fingerprint selection (Schleimer, Wilkerson,
+    * Aiken 2003 — the MOSS scheme), distinct from the min-k sketch
+    * above: per document, hash every k-word gram (md5, the portable
+    * family) and select the MINIMUM hash of each sliding window of
+    * `window` consecutive gram hashes. The published guarantee: any
+    * two documents sharing a substring of at least `window + k − 1`
+    * words share at least one selected fingerprint — which is what
+    * makes it a RECALL-SAFE candidate generator for substring-level
+    * dedup, where the doc-level min-k sketch has no such bound (a
+    * shared passage's hashes need not be among a long document's
+    * global minima). Output: (doc_id, fp) distinct rows, ~n/window
+    * per doc; still a pure scan-local projection. Documents shorter
+    * than `window + k − 1` words emit nothing (nothing is guaranteed
+    * discoverable for them). */
+  def winnowing(docs: DataFrame, k: Int = 4, window: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be positive")
+    docs
+      .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn("__g", gramsOf(col("__toks"), k))
+      // staging barriers: each when(size >= 0, …) double-references
+      // its input so CollapseProject can't re-inline the previous
+      // stage into the next lambda (the documented HOF-recompute trap)
+      .withColumn("__h", when(size(col("__g")) >= 0,
+        transform(col("__g"), g => md5(g))))
+      .withColumn("__fp", when(size(col("__h")) >= 0, array_distinct(
+        filter(
+          transform(sequence(lit(0), greatest(size(col("__h")) - window, lit(0))),
+            i => when(i + window <= size(col("__h")),
+              array_min(slice(col("__h"), i + 1, lit(window))))),
+          x => x.isNotNull))))
+      .select(col("doc_id"), explode_outer(col("__fp")).as("fp"))
+      .where(col("fp").isNotNull)
+  }
+
   // ---- repetition filtering (Gopher §A1.1 / C4-style) ------------------
 
   /** Raw word n-grams WITH multiplicity (Dedup.shinglesOf minus the

@@ -653,6 +653,30 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(m == Map(1L -> 0L, 3L -> 1L, 5L -> 2L, 2L -> 0L, 4L -> 0L, 6L -> 0L))
   }
 
+  test("substringDups: winnowing candidates + exact LCS verification on planted passages") {
+    val shared = "one two three four five six seven eight nine ten" // 10 words
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $shared delta echo"),
+      (2L, s"foxtrot golf $shared hotel india juliet"),
+      (3L, "kilo lima mike november oscar papa quebec romeo sierra tango uniform victor"),
+      (4L, s"whiskey xray $shared yankee")
+    ).toDF("doc_id", "text")
+    // minWords 8 ≤ guarantee bound window+k−1 = 7? no: 8 ≥ 7, and the
+    // 10-word passage ≥ 7 so recall is GUARANTEED by winnowing
+    val got = Dedup.substringDups(docs, k = 4, window = 4, minWords = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // LCS is EXACT: 10 shared words = 7 consecutive shared 4-grams + 3
+    assert(got.values.forall(_ == 10L))
+    // raising the floor above the true LCS empties the result
+    assert(Dedup.substringDups(docs, k = 4, window = 4, minWords = 11).count() == 0)
+    // sub-gram matches are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringDups(docs, k = 4, minWords = 3)
+    }
+    assert(e.getMessage.contains("sub-gram"))
+  }
+
   test("ANN size hints: adaptive sizing runs ZERO jobs when corpusSize/dim are provided") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val e = (0 until 64).map(i =>
