@@ -145,6 +145,34 @@ object PlanDump {
           val docs = Tables.documents(spark, sf)
           idx.addBatch(docs.where(col("doc_id") % 2 === 0), "pd_b0")
           idx.newCandidates(docs.where(col("doc_id") % 2 === 1))
+        }),
+      ("PII detection + redaction: pure scan-local projection (Scan → Project, zero shuffle)",
+        "per-class regexp counts + fixed-order redaction all inside the scan's codegen stage — the corpus-filter pass costs one pass over the text at any scale",
+        TextAnalysis.piiStats(Tables.documents(spark, sf))),
+      ("line-level dedup: ONE exchange on the line (doc-frequency agg, reused by the filter join) + ONE on doc_id (ordered reassembly)",
+        "C4-style boilerplate removal; the left join back keeps all-dropped documents with empty text",
+        Dedup.lineDedup(Tables.documents(spark, sf), maxDocFreq = 2)),
+      ("substring dedup: capped winnowing-fingerprint self-join → candidates only → gram-position islands",
+        "fingerprints are a scan-local projection (~n/window per doc); the LCS verification joins gram rows for CANDIDATE pairs only — corpus² never appears in any stage",
+        Dedup.substringDups(Tables.documents(spark, sf), k = 4, window = 4, minWords = 8)),
+      ("nearest as-of join: ONE union + ONE shared window sort for BOTH directions (one exchange total)",
+        "backward = last(struct) over preceding, forward = first(struct) over following — same partitioning and ordering, so the two frames share the sort; formerly two chained directional passes (two exchanges)",
+        {
+          val p = Q.eventPoints(spark, sf).select("key", "ts", "v")
+          val hourly = p.groupBy(col("key"), date_trunc("hour", col("ts")).as("ts"))
+            .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+              count(lit(1))).as("rv"))
+          SeriesAlgebra.asofNearest(p, hourly, Seq("rv"))
+        }),
+      ("incremental ANN: probe over the persisted assignment index (rank cap applied at query time)",
+        "addBatch assigned only new vectors via the scan-local cent_topk kernel; the probe reads compact (vec_id, cent_id) rows hash-distributed by cent_id and re-ranks candidates by id — old embeddings are never re-read for maintenance",
+        {
+          val idxRoot = Q.freshDir("graft_plandump_annidx")
+          val e2 = Tables.embeddings(spark, sf)
+          val idx = new AnnIndex(spark, idxRoot, Similarity.pivotCentroids(e2, 16))
+          idx.addBatch(e2.where(col("vec_id") % 2 === 0), "pa_b0")
+          idx.addBatch(e2.where(col("vec_id") % 2 === 1), "pa_b1")
+          idx.topK(e2, e2.where(col("vec_id") < 3), 5, nProbe = 2)
         }))
 
     val body = sections.map { case (title, note, df) =>
