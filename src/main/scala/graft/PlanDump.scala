@@ -149,7 +149,7 @@ object PlanDump {
       ("PII detection + redaction: pure scan-local projection (Scan → Project, zero shuffle)",
         "per-class regexp counts + fixed-order redaction all inside the scan's codegen stage — the corpus-filter pass costs one pass over the text at any scale",
         TextAnalysis.piiStats(Tables.documents(spark, sf))),
-      ("line-level dedup: ONE exchange on the line (doc-frequency agg, reused by the filter join) + ONE on doc_id (ordered reassembly)",
+      ("line-level dedup: raw text crosses ONE exchange (doc_id reassembly); frequency agg runs on compact line hashes; the small boilerplate drop-set anti-joins via AQE broadcast",
         "C4-style boilerplate removal; the left join back keeps all-dropped documents with empty text",
         Dedup.lineDedup(Tables.documents(spark, sf), maxDocFreq = 2)),
       ("substring dedup: capped winnowing-fingerprint self-join → candidates only → gram-position islands",

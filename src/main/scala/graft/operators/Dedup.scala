@@ -68,22 +68,30 @@ object Dedup {
     * [[TextAnalysis.repetitionStats]]' job) but every surviving copy
     * is kept in place.
     *
-    * Scale shape: explode to (doc_id, line_idx, line) rows; ONE
-    * exchange keyed on the line for the doc-frequency hash-agg (the
-    * partial agg condenses in-partition duplicates first) whose
-    * partitioning the filter join then reuses; ONE exchange on doc_id
-    * for the ordered reassembly. Documents whose every line dropped
-    * come back with empty text (left join), so the output is total
-    * over the input corpus. */
+    * Scale shape — raw text crosses exactly ONE exchange: the
+    * doc-frequency aggregate runs on md5 LINE HASHES (a compact
+    * (hash, doc_id) shuffle, never the text), and only the lines
+    * ABOVE the cap — the boilerplate set, small BY DEFINITION (a line
+    * must repeat across `maxDocFreq`+ documents to enter it, so its
+    * distinct count is ≪ the corpus's distinct lines) — feed a
+    * LEFT ANTI join that AQE broadcasts; the text rows then shuffle
+    * once, on doc_id, for the ordered reassembly. (An md5 collision
+    * could drop an innocent line — at 2⁻¹²⁸ that is the standard
+    * content-hash assumption the exact-dedup pass already makes.)
+    * Documents whose every line dropped come back with empty text
+    * (left join), so the output is total over the input corpus. */
   def lineDedup(docs: DataFrame, maxDocFreq: Int = 2): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")))
       .select(col("doc_id"), col("pos").as("line_idx"), col("col").as("line"))
-    val freq = lines.groupBy(col("line"))
+    val drop = lines
+      .select(md5(col("line")).as("lh"), col("doc_id"))
+      .groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
-    val kept = lines.join(freq, Seq("line"))
-      .where(col("doc_freq") <= maxDocFreq)
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("lh"))
+    val kept = lines.join(drop, md5(col("line")) === col("lh"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
