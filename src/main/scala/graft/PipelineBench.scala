@@ -56,6 +56,15 @@ object PipelineBench {
       val sec = (System.nanoTime() - t0) / 1e9
       val rows = spark.read.parquet(dir).count()
       out += s""""$name":{"sec":$sec,"out_rows":$rows}"""
+      // Shuffle files live until their ShuffleDependency is GC'd
+      // (ContextCleaner is GC-triggered); with a large mostly-idle
+      // heap the JVM may never collect, so completed stages' spill
+      // accumulates for the whole app — at 10M docs/vectors that
+      // overran the sandbox /tmp quota twice (ENOSPC mid-cosine).
+      // An explicit GC between stages lets the cleaner reclaim them;
+      // untimed, so measurements are unaffected.
+      System.gc()
+      Thread.sleep(2000)
       rows
     }
 
