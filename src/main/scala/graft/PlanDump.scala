@@ -149,6 +149,9 @@ object PlanDump {
       ("PII detection + redaction: pure scan-local projection (Scan → Project, zero shuffle)",
         "per-class regexp counts + fixed-order redaction all inside the scan's codegen stage — the corpus-filter pass costs one pass over the text at any scale",
         TextAnalysis.piiStats(Tables.documents(spark, sf))),
+      ("C4 rule filter: pure scan-local projection (Scan → Project, zero shuffle)",
+        "line filtering happens INSIDE the row (filter over split lines) — no explode, no join; document flags ride the same projection, so the whole published C4 rule set costs one pass over the text",
+        TextAnalysis.c4Filter(Tables.documents(spark, sf))),
       ("line-level dedup: raw text crosses ONE exchange (doc_id reassembly); frequency agg runs on compact line hashes; the small boilerplate drop-set anti-joins via AQE broadcast",
         "C4-style boilerplate removal; the left join back keeps all-dropped documents with empty text",
         Dedup.lineDedup(Tables.documents(spark, sf), maxDocFreq = 2)),

@@ -431,4 +431,45 @@ object TextAnalysis {
         when(col("n_grams") > 0,
           col("hit_grams").cast("double") / col("n_grams"))
           .otherwise(lit(0.0)).as("contam_frac"))
+
+  // ---- C4 rule filter --------------------------------------------------
+
+  /** The published C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+    * as ONE scan-local projection.
+    *
+    * Line level — a line survives iff it ends in a terminal
+    * punctuation mark, has at least `minLineWords` whitespace words,
+    * and does not mention "javascript". Document level — a document
+    * is flagged keep=1 iff its CLEANED text has at least
+    * `minSentences` sentences (terminal-punctuation count) and
+    * contains neither "lorem ipsum" nor a curly brace.
+    *
+    * Everything is array/regexp expressions over the scan: line
+    * filtering happens INSIDE the row via `filter(split(text, \n))`,
+    * so there is no explode, no join and no shuffle — at 100 TB this
+    * is a single WholeStageCodegen Scan→Project pass, the same shape
+    * as [[qualityScore]]. Dropped docs are flagged, not removed: the
+    * caller chooses `where(keep = 1)` (rule composition and audit
+    * counts both need the flags).
+    *
+    * Output: doc_id, n_lines_kept, n_lines_dropped, n_sentences,
+    * keep (0/1 int — portable across engines), clean_text. */
+  def c4Filter(docs: DataFrame, textCol: String = "text",
+      minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, ln =>
+      trim(ln).rlike("[.!?\"]$") &&
+        size(split(trim(ln), "\\s+")) >= minLineWords &&
+        !lower(ln).contains("javascript"))
+    val clean = array_join(kept, "\n")
+    val nSent = length(regexp_replace(clean, "[^.!?]", ""))
+    docs.select(col("doc_id"),
+      size(kept).as("n_lines_kept"),
+      (size(lines) - size(kept)).as("n_lines_dropped"),
+      nSent.as("n_sentences"),
+      (nSent >= minSentences &&
+        !lower(clean).contains("lorem ipsum") &&
+        !clean.contains("{")).cast("int").as("keep"),
+      clean.as("clean_text"))
+  }
 }

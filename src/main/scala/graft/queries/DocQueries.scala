@@ -329,6 +329,34 @@ object DocQueries extends QuerySet {
         ).as("text"))
       ordered(Dedup.lineDedup(d, maxDocFreq = 2))
     }),
+    // C4 rule filter (Raffel et al. 2020): the corpus carries no
+    // newlines or sentence punctuation, so the query plants every rule
+    // boundary deterministically — a kept terminal-punct line, an
+    // exactly-minLineWords line, a no-punct line, a too-short line, a
+    // javascript line (doc_id % 3), a 5-sentence line on even docs
+    // only (odd docs fail minSentences), and the lorem-ipsum /
+    // curly-brace document kills (% 31 / % 41) — via expressions the
+    // oracle rebuilds verbatim, certifying line counts, the sentence
+    // count, the keep flag AND the reassembled clean text
+    "q_c4_filter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          lit("This line ends with terminal punctuation."),
+          lit("Exactly three words."),
+          lit("no terminal punctuation here"),
+          lit("Too short."),
+          when(col("doc_id") % 2 === 0,
+            lit("One two three. Four five six. Seven eight nine. Ten eleven twelve. Final sentence here.")),
+          when(col("doc_id") % 3 === 0,
+            lit("Please enable javascript to continue.")),
+          when(col("doc_id") % 31 === 0,
+            lit("Lorem ipsum dolor sit amet.")),
+          when(col("doc_id") % 41 === 0,
+            lit("Config sample { key: value } here."))
+        ).as("text"))
+      ordered(TextAnalysis.c4Filter(d))
+    }),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -978,5 +1006,50 @@ object DocQueries extends QuerySet {
         |SELECT d.doc_id, coalesce(r.text, '') AS text
         |FROM documents d LEFT JOIN reb r USING (doc_id)
         |ORDER BY doc_id, text""".stripMargin,
+    // C4 rule filter: list_filter replays the line rules, regexp_replace
+    // counts terminal punctuation on the cleaned text, and the keep flag
+    // replays the document rules — all over the same planted multiline
+    // construction (INT casts pin DuckDB's BIGINT len/length to Spark's
+    // int size()/length())
+    "q_c4_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      text,
+        |      'This line ends with terminal punctuation.',
+        |      'Exactly three words.',
+        |      'no terminal punctuation here',
+        |      'Too short.',
+        |      CASE WHEN doc_id % 2 = 0 THEN 'One two three. Four five six. Seven eight nine. Ten eleven twelve. Final sentence here.' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'Please enable javascript to continue.' END,
+        |      CASE WHEN doc_id % 31 = 0 THEN 'Lorem ipsum dolor sit amet.' END,
+        |      CASE WHEN doc_id % 41 = 0 THEN 'Config sample { key: value } here.' END) AS text
+        |  FROM documents),
+        |lx AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |         list_filter(ls, ln ->
+        |           regexp_matches(trim(ln), '[.!?"]$')
+        |           AND len(regexp_split_to_array(trim(ln), '\s+')) >= 3
+        |           AND NOT contains(lower(ln), 'javascript')) AS kl
+        |  FROM lx),
+        |c AS (
+        |  SELECT doc_id,
+        |         CAST(len(kl) AS INT) AS n_lines_kept,
+        |         CAST(len(ls) - len(kl) AS INT) AS n_lines_dropped,
+        |         array_to_string(kl, chr(10)) AS clean_text
+        |  FROM k),
+        |f AS (
+        |  SELECT doc_id, n_lines_kept, n_lines_dropped,
+        |         CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS INT) AS n_sentences,
+        |         clean_text
+        |  FROM c)
+        |SELECT doc_id, n_lines_kept, n_lines_dropped, n_sentences,
+        |       CAST((n_sentences >= 5
+        |             AND NOT contains(lower(clean_text), 'lorem ipsum')
+        |             AND NOT contains(clean_text, '{')) AS INT) AS keep,
+        |       clean_text
+        |FROM f
+        |ORDER BY doc_id, n_lines_kept, n_lines_dropped, n_sentences, keep, clean_text""".stripMargin,
   )
 }

@@ -928,4 +928,41 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got(12L) == ((12L, 2L, 0L, 0.0)))
     assert(got(13L) == ((13L, 0L, 0L, 0.0)))
   }
+
+  test("c4Filter: line and document rules at exact boundaries") {
+    val docs = Seq(
+      // every line rule at its boundary: terminal punct (./!/?/"),
+      // exactly-3-words kept, 2-words dropped, no-punct dropped,
+      // javascript dropped (case-insensitive), trailing spaces trimmed
+      (1L, Seq(
+        "First sentence lands here.", "Shout it out loud!", "Is this kept?",
+        "\"Quoted line stays.\"", "Only two words. extra pad." /* 5 words, kept */,
+        "Two words.", "no terminal punctuation here",
+        "Enable JavaScript to proceed.", "Padded punct line.   ").mkString("\n")),
+      // five sentences on ONE kept line → keep at minSentences boundary
+      (2L, "One two three. Four five six. Seven eight nine. Ten eleven twelve. Final sentence here."),
+      // four sentences → below minSentences, dropped
+      (3L, "One two three. Four five six. Seven eight nine. Ten eleven twelve words."),
+      // lorem ipsum / curly brace kill regardless of sentence count
+      (4L, "Lorem ipsum dolor sits. Two three four. Three four five. Four five six. Five six seven."),
+      (5L, "Brace { sample code. Two three four. Three four five. Four five six. Five six seven.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filter(docs)
+      .select("doc_id", "n_lines_kept", "n_lines_dropped", "n_sentences", "keep", "clean_text")
+      .as[(Long, Int, Int, Int, Int, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: kept = the 4 punct lines + 5-word line + padded line = 6;
+    // dropped = 2-words, no-punct, javascript = 3
+    assert(got(1L)._2 == 6 && got(1L)._3 == 3)
+    assert(got(1L)._6.startsWith("First sentence lands here.\nShout it out loud!"))
+    assert(!got(1L)._6.toLowerCase.contains("javascript"))
+    // sentence count: . ! ? over the CLEANED text (quoted line's '.'
+    // counts; the dropped lines' punctuation does not)
+    assert(got(1L)._4 == 7 && got(1L)._5 == 1)
+    assert(got(2L) == ((2L, 1, 0, 5, 1,
+      "One two three. Four five six. Seven eight nine. Ten eleven twelve. Final sentence here.")))
+    assert(got(3L)._4 == 4 && got(3L)._5 == 0)
+    assert(got(4L)._4 == 5 && got(4L)._5 == 0) // lorem ipsum kill
+    assert(got(5L)._4 == 5 && got(5L)._5 == 0) // curly-brace kill
+  }
 }
