@@ -169,7 +169,7 @@ object Bench {
     // r04 q_zscore) until someone re-measured it isolated. Ordering
     // the catalog stateless-first keeps every comparable row's
     // reading clean; the stateful rows only contaminate each other.
-    val stateful = Set("q_tier_merge", "q_streaming_rollup",
+    val stateful = Set("q_tier_merge", "q_tier_changes", "q_streaming_rollup",
       "q_streaming_dedup", "q_streaming_sessions", "q_streaming_latency",
       "q_dedup_incremental", "q_ann_incremental")
     val orderedQs = SparkEntry.queries.toSeq.sortBy(_._1)

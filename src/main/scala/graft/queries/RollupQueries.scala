@@ -98,6 +98,29 @@ object RollupQueries extends QuerySet {
       job.run(pts, "qtm_run")                        // resume + finish
       ordered(Rollup.present(job.tier1d.read()))
     }),
+    // Incremental snapshot read (readChangesSince — the Iceberg
+    // incremental-scan analog): merge days 1–2.5, snapshot, merge the
+    // rest (rewriting the half-done Jan-3 partitions AND creating
+    // Jan 4–5); the changes read must return the CURRENT contents of
+    // exactly the partitions batch 2 touched — i.e. the full Jan 3–5
+    // rollup including batch 1's Jan-3 morning rows (merged content,
+    // not just the delta's input), and nothing from the carried-
+    // forward Jan 1–2. nBuckets = 1 makes the changed-partition set
+    // day-determined BY CONSTRUCTION at every SF (at sf0.001 a day
+    // has ~12 active keys, so "batch 2 hits every key bucket" would
+    // be an unverifiable hash assumption with more buckets); the
+    // bucket dimension of the changes scan is pinned by the
+    // TierTableSpec readChangesSince test at nBuckets = 4.
+    "q_tier_changes" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qtc_${math.abs(dir.hashCode).toString}")
+      val t = new graft.tables.TierTable(s, s"$root/t1m", nBuckets = 1)
+      val mid = lit(tierChangesMid).cast(pts.schema("ts").dataType)
+      t.merge(Rollup.rollupRaw(pts.where(col("ts") < mid), "minute"), "qtc_b1")
+      val v1 = t.currentVersion
+      t.merge(Rollup.rollupRaw(pts.where(col("ts") >= mid), "minute"), "qtc_b2")
+      ordered(Rollup.present(t.readChangesSince(v1)))
+    }),
     // Streaming twin of the cascade (r2 verdict next-#7): replay the
     // events table as a bounded file stream in ≥3 micro-batches
     // through StreamingRollup.cascadeWriter (foreachBatch MERGE with
@@ -182,6 +205,7 @@ object RollupQueries extends QuerySet {
   )
 
   private val tierMergeCut = "2024-01-06 00:00:00"
+  private val tierChangesMid = "2024-01-03 12:00:00"
 
   /** First-5-days slice of the event points (ts-range predicate on
     * the raw column → pushes into the scan). */
@@ -204,6 +228,12 @@ object RollupQueries extends QuerySet {
   val oracles: Map[String, String] = Map(
     "q_tier_merge" ->
       s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut'")}, ${cascadeCte("r1h", "r1m", "hour")}, ${cascadeCte("r1d", "r1h", "day")} ${presentSql("r1d")}""",
+    // changes since the mid-snapshot = current contents of the
+    // partitions batch 2 rewrote or created = the full rollup of the
+    // days batch 2 touched (Jan 3 from 00:00 — the rewritten
+    // partitions carry batch 1's morning rows too)
+    "q_tier_changes" ->
+      s"""${ev1mCteWhere(s"WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '$tierMergeCut'")} ${presentSql("r1m")}""",
     "q_streaming_rollup" -> s"$ev1mCte ${presentSql("r1m")}",
     "q_rollup_1m" -> s"$ev1mCte ${presentSql("r1m")}",
     "q_rollup_1h_cascade" ->

@@ -309,6 +309,26 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     readEntries(resolvedAt(version))
   }
 
+  /** Incremental read (the Iceberg incremental-scan analog): the
+    * CURRENT contents of every partition created or rewritten after
+    * `sinceVersion`. Copy-on-write gives every rewrite a fresh
+    * attempt-unique data dir while carried-forward entries keep their
+    * dir string verbatim, so dir identity IS change identity — no
+    * timestamps, no extra metadata. This is what lets a downstream
+    * consumer (export job, secondary index, cache) re-process only the
+    * partitions a day's merges touched instead of re-scanning the
+    * table: at 100 TB the scan is O(changed partitions), not O(table).
+    * Partitions REMOVED since `sinceVersion` (retention drops)
+    * contribute no rows — an additions/updates scan, not a row-level
+    * CDC diff. `sinceVersion = -1` means "everything" (empty base). */
+  def readChangesSince(sinceVersion: Int): DataFrame = {
+    require(sinceVersion == -1 ||
+      (sinceVersion >= 0 && Files.exists(metaDir.resolve(s"v$sinceVersion.json"))),
+      s"version $sinceVersion of $root does not exist (expired or never committed)")
+    val base = resolvedAt(sinceVersion).map(e => (e.pb, e.pd) -> e.dir).toMap
+    readEntries(resolvedEntries.filter(e => !base.get((e.pb, e.pd)).contains(e.dir)))
+  }
+
   // ---- merge --------------------------------------------------------
 
   private def withPartCols(rollup: DataFrame): DataFrame =

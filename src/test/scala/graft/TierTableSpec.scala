@@ -61,6 +61,51 @@ class TierTableSpec extends SparkSpecBase {
     assert(cnt3 == 2 * cnt1)
   }
 
+  test("readChangesSince returns exactly the partitions later merges rewrote") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    // a spans ~35 h (2-3 days); b starts ~30.5 h in and runs to ~48 h:
+    // whatever the wall-clock base, a's first day is NEVER touched by b
+    // (carried forward), while a's last day is REWRITTEN (merged) and
+    // b creates at least one new day
+    val a = mkPts(3, 800)
+    val b = mkPts(3, 400, startSec = 700 * 157)
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "rA")
+    val v0 = tt.currentVersion
+    tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), "rB")
+
+    // replicate the documented hidden-partitioning transform to derive
+    // the touched set independently of the implementation
+    def partCols(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("pb", pmod(xxhash64(col("key")), lit(4L)).cast("int"))
+      .withColumn("pd", date_format(col("bucket"), "yyyy-MM-dd"))
+    val touched = partCols(Rollup.rollupRaw(b.toDF(), "minute"))
+      .select("pb", "pd").distinct()
+    val expected = partCols(tt.read()).join(touched, Seq("pb", "pd"), "left_semi")
+      .drop("pb", "pd")
+    val changes = tt.readChangesSince(v0)
+    assert(changes.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(changes).count() == 0)
+    // rewritten partitions carry MERGED content (a's rows included),
+    // and carried-forward partitions are excluded
+    assert(changes.count() < tt.read().count())
+    assert(changes.count() > Rollup.rollupRaw(b.toDF(), "minute").count())
+    // sinceVersion = -1 reads everything
+    val all = tt.readChangesSince(-1)
+    assert(all.exceptAll(tt.read()).count() == 0 &&
+      tt.read().exceptAll(all).count() == 0)
+    // a metadata-only commit (retention drop carries surviving dirs
+    // forward verbatim) produces NO changes
+    val v1 = tt.currentVersion
+    val firstDay = partCols(tt.read()).agg(min(col("pd"))).head().getString(0)
+    val dropped = tt.dropPartitionsBefore(
+      java.time.LocalDate.parse(firstDay).plusDays(1).toString)
+    assert(dropped > 0 && tt.currentVersion > v1)
+    assert(tt.readChangesSince(v1).count() == 0)
+    // uncommitted/expired base versions are rejected loudly
+    intercept[IllegalArgumentException](tt.readChangesSince(99))
+  }
+
   test("manifest carries lineage and row/byte metrics per partition") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
