@@ -425,10 +425,20 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
-    // no broadcast hints: candIds / withA are unbounded — AQE decides
-    val withA = e.join(candIds, col("vec_id") === col("id_a"))
+    // no broadcast hints: candIds / withA are unbounded — but the
+    // vector re-attach must NOT be a sort-merge join: SMJ sorts the
+    // streamed candidate rows, and after the first re-attach each
+    // carries a ~dim·8-byte embedding payload, so the second join's
+    // sort spills candidates × payload (measured 63 GB at 4M vectors /
+    // 128M candidates — ENOSPC'd the 10× bench twice; at 10⁹ vectors
+    // it is petabytes of sort I/O that a hash join simply never does).
+    // shuffle_hash on the VECTOR side makes it the per-partition build
+    // table (n/parts rows — a few MB at any sane partitioning) and
+    // streams the candidate side unsorted. Values are join-strategy-
+    // independent: q_cosine_neardups stays byte-green.
+    val withA = e.hint("shuffle_hash").join(candIds, col("vec_id") === col("id_a"))
       .select(col("id_a"), col("id_b"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val pairs = e.join(withA, col("vec_id") === col("id_b"))
+    val pairs = e.hint("shuffle_hash").join(withA, col("vec_id") === col("id_b"))
     pairs.select(col("id_a"), col("id_b"),
         cosine(col("emb_a"), col("emb"), col("nrm_a"), col("nrm")).as("cos"))
       .where(col("cos") >= threshold)
