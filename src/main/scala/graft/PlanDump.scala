@@ -152,6 +152,9 @@ object PlanDump {
       ("C4 rule filter: pure scan-local projection (Scan → Project, zero shuffle)",
         "line filtering happens INSIDE the row (filter over split lines) — no explode, no join; document flags ride the same projection, so the whole published C4 rule set costs one pass over the text",
         TextAnalysis.c4Filter(Tables.documents(spark, sf))),
+      ("Gopher rule filter: pure scan-local projection (Scan → Project, zero shuffle)",
+        "all seven published rules as integer arithmetic (cross-multiplied thresholds, no floats) riding one projection — counts, per-rule flags and the keep bit in a single pass over the text",
+        TextAnalysis.gopherFilter(Tables.documents(spark, sf))),
       ("line-level dedup: raw text crosses ONE exchange (doc_id reassembly); frequency agg runs on compact line hashes; the small boilerplate drop-set anti-joins via AQE broadcast",
         "C4-style boilerplate removal; the left join back keeps all-dropped documents with empty text",
         Dedup.lineDedup(Tables.documents(spark, sf), maxDocFreq = 2)),

@@ -472,4 +472,65 @@ object TextAnalysis {
         !clean.contains("{")).cast("int").as("keep"),
       clean.as("clean_text"))
   }
+
+  // ---- Gopher rule filter ------------------------------------------------
+
+  /** The eight stop words of the Gopher "stop word" rule (Rae et al.
+    * 2021, appendix A1.1.2): a document must contain at least two. */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher quality rules (Rae et al. 2021, appendix
+    * A1.1.2) as ONE scan-local projection — the document-statistics
+    * complement to [[c4Filter]]'s line rules:
+    *
+    *   1. word count in [minWords, maxWords]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio < 0.1 (symbols: '#' and ASCII "...")
+    *   4. < 90% of lines start with a bullet ("- " / "* ")
+    *   5. < 30% of lines end with an ellipsis ("...")
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 of the eight Gopher stop words present
+    *
+    * Every rule is INTEGER arithmetic (cross-multiplied thresholds:
+    * `10*symbols < words` instead of a float ratio), so the output —
+    * per-rule counts, per-rule flags and the composite keep — is
+    * bit-portable across engines with no IEEE considerations at all.
+    * Pure column expressions over the scan: zero shuffle, one
+    * WholeStageCodegen Scan→Project pass at any corpus size. Flags,
+    * not drops, same audit discipline as [[c4Filter]]. */
+  def gopherFilter(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val nWords = size(toks)
+    // mean-word-length numerator: total non-whitespace chars
+    val nWordChars = length(regexp_replace(text, "\\s+", ""))
+    // '#' chars plus non-overlapping ASCII "..." runs (exact multiple
+    // of 3 by construction, so the int cast is exact in any engine)
+    val nSymbols = length(regexp_replace(text, "[^#]", "")) +
+      ((length(text) - length(replace(text, lit("...")))) / 3).cast("int")
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, ln => ln.rlike("^\\s*[-*] ")))
+    val nEllipsis = size(filter(lines, ln => ln.rlike("\\.\\.\\.\\s*$")))
+    val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val lowToks = transform(toks, t => lower(t))
+    val nStops = gopherStops.map(w =>
+      array_contains(lowToks, w).cast("int")).reduce(_ + _)
+    docs.select(col("doc_id"),
+        nWords.as("n_words"), nWordChars.as("n_word_chars"),
+        nSymbols.as("n_symbols"), nLines.as("n_lines"),
+        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
+        nAlphaWords.as("n_alpha_words"), nStops.as("n_req_stops"))
+      .withColumn("keep",
+        (col("n_words").between(minWords, maxWords) &&
+          col("n_word_chars") >= lit(3) * col("n_words") &&
+          col("n_word_chars") <= lit(10) * col("n_words") &&
+          col("n_symbols") * 10 < col("n_words") &&
+          col("n_bullet_lines") * 10 < col("n_lines") * 9 &&
+          col("n_ellipsis_lines") * 10 < col("n_lines") * 3 &&
+          col("n_alpha_words") * 10 >= col("n_words") * 8 &&
+          col("n_req_stops") >= 2).cast("int"))
+  }
 }

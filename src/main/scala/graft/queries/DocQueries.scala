@@ -357,6 +357,33 @@ object DocQueries extends QuerySet {
         ).as("text"))
       ordered(TextAnalysis.c4Filter(d))
     }),
+    // Gopher rule filter (Rae et al. 2021 A1.1.2): every rule is
+    // integer arithmetic, so certification needs no float discipline
+    // at all. The corpus straddles the 50-word minimum naturally
+    // (median ≈ 56 at every SF); the planted lines drive the other
+    // rules — all 8 stop words (%2), a 9-line bullet block (%7),
+    // a '#' symbol run (%11), an ellipsis-terminated line (%13),
+    // all-digit words (%17), >10-char words (%19) — via expressions
+    // the oracle rebuilds verbatim: counts AND flags certified.
+    "q_gopher_filter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("the results have to be consistent with that and of course.")),
+          when(col("doc_id") % 7 === 0,
+            lit(Seq.fill(9)("- bullet item here").mkString("\n"))),
+          when(col("doc_id") % 11 === 0,
+            lit("#money #tags #crypto #spam #promo #ads")),
+          when(col("doc_id") % 13 === 0,
+            lit("and the thought just trails off...")),
+          when(col("doc_id") % 17 === 0,
+            lit("12345 67890 10101 20202 30303 40404 50505")),
+          when(col("doc_id") % 19 === 0,
+            lit("supercalifragilisticexpialidocious antidisestablishmentarianism floccinaucinihilipilification"))
+        ).as("text"))
+      ordered(TextAnalysis.gopherFilter(d))
+    }),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -1051,5 +1078,58 @@ object DocQueries extends QuerySet {
         |       clean_text
         |FROM f
         |ORDER BY doc_id, n_lines_kept, n_lines_dropped, n_sentences, keep, clean_text""".stripMargin,
+    // Gopher rules: token/line lists via list_filter, symbol count via
+    // regexp_replace + non-overlapping '...' runs (exact multiple of 3,
+    // so // 3 is exact), every threshold cross-multiplied in integers —
+    // no floats anywhere. INT casts pin DuckDB's BIGINT len/length to
+    // Spark's int size()/length().
+    "q_gopher_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      text,
+        |      CASE WHEN doc_id % 2 = 0 THEN 'the results have to be consistent with that and of course.' END,
+        |      CASE WHEN doc_id % 7 = 0 THEN rtrim(repeat('- bullet item here' || chr(10), 9), chr(10)) END,
+        |      CASE WHEN doc_id % 11 = 0 THEN '#money #tags #crypto #spam #promo #ads' END,
+        |      CASE WHEN doc_id % 13 = 0 THEN 'and the thought just trails off...' END,
+        |      CASE WHEN doc_id % 17 = 0 THEN '12345 67890 10101 20202 30303 40404 50505' END,
+        |      CASE WHEN doc_id % 19 = 0 THEN 'supercalifragilisticexpialidocious antidisestablishmentarianism floccinaucinihilipilification' END) AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0) AS toks,
+        |    str_split(text, chr(10)) AS ls
+        |  FROM aug),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS INT) AS n_word_chars,
+        |    CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+        |         + (length(text) - length(replace(text, '...', ''))) // 3 AS INT) AS n_symbols,
+        |    CAST(len(ls) AS INT) AS n_lines,
+        |    CAST(len(list_filter(ls, ln -> regexp_matches(ln, '^\s*[-*] '))) AS INT) AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, ln -> regexp_matches(ln, '\.\.\.\s*$'))) AS INT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS n_alpha_words,
+        |    CAST((CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'the') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'be') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'to') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'of') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'and') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'that') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'have') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(list_transform(toks, w -> lower(w)), 'with') THEN 1 ELSE 0 END) AS INT) AS n_req_stops
+        |  FROM t)
+        |SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+        |       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_req_stops,
+        |       CAST((n_words BETWEEN 50 AND 100000
+        |             AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |             AND n_symbols * 10 < n_words
+        |             AND n_bullet_lines * 10 < n_lines * 9
+        |             AND n_ellipsis_lines * 10 < n_lines * 3
+        |             AND n_alpha_words * 10 >= n_words * 8
+        |             AND n_req_stops >= 2) AS INT) AS keep
+        |FROM c
+        |ORDER BY doc_id, n_words, n_word_chars, n_symbols, n_lines,
+        |         n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_req_stops, keep""".stripMargin,
   )
 }

@@ -965,4 +965,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got(4L)._4 == 5 && got(4L)._5 == 0) // lorem ipsum kill
     assert(got(5L)._4 == 5 && got(5L)._5 == 0) // curly-brace kill
   }
+
+  test("gopherFilter: every rule at its exact integer boundary") {
+    def words(n: Int, fill: String = "word") = Seq.fill(n)(fill)
+    // 50 words, mean 3.94, 2 stops, all alpha → passes every rule
+    val base50 = ("the" +: "have" +: words(48)).mkString(" ")
+    val bullet = "- filler words here."
+    val docs = Seq(
+      (1L, base50),                                                    // keep
+      (2L, ("the" +: "have" +: words(47)).mkString(" ")),              // 49 words
+      (3L, (Seq("the", "and") ++ words(48, "foo")).mkString(" ")),     // 150 chars = 3·50
+      (4L, (Seq("be", "and") ++ words(48, "foo")).mkString(" ")),      // 149 < 3·50
+      (5L, (Seq("the", "have") ++ words(44) ++ words(4, "#")).mkString(" ")),  // 4 symbols
+      (6L, (Seq("the", "have") ++ words(43) ++ words(5, "#")).mkString(" ")),  // 5 symbols
+      (7L, (Seq("the", "have") ++ words(38) ++ words(10, "77")).mkString(" ")), // 40/50 alpha
+      (8L, (Seq("the", "have") ++ words(37) ++ words(11, "77")).mkString(" ")), // 39/50 alpha
+      (9L, ("the" +: words(49, "the")).mkString(" ")),                 // 1 distinct stop
+      (10L, (base50 +: words(9, bullet)).mkString("\n")),              // 9/10 bullet lines
+      (11L, (base50 +: words(8, bullet) :+ "extra good line").mkString("\n")), // 8/10
+      (12L, ((base50 +: words(3, "it trails off...")) ++ words(6, "a plain line")).mkString("\n")), // 3/10 ellipsis ends
+      (13L, ((base50 +: words(2, "it trails off...")) ++ words(7, "a plain line")).mkString("\n"))  // 2/10
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def keep(id: Long) = got(id).getAs[Int]("keep")
+    assert(keep(1L) == 1 && keep(2L) == 0 && got(2L).getAs[Int]("n_words") == 49)
+    assert(keep(3L) == 1 && got(3L).getAs[Int]("n_word_chars") == 150)
+    assert(keep(4L) == 0 && got(4L).getAs[Int]("n_word_chars") == 149)
+    assert(keep(5L) == 1 && got(5L).getAs[Int]("n_symbols") == 4)
+    assert(keep(6L) == 0 && got(6L).getAs[Int]("n_symbols") == 5)
+    assert(keep(7L) == 1 && got(7L).getAs[Int]("n_alpha_words") == 40)
+    assert(keep(8L) == 0 && got(8L).getAs[Int]("n_alpha_words") == 39)
+    assert(keep(9L) == 0 && got(9L).getAs[Int]("n_req_stops") == 1)
+    assert(keep(10L) == 0 && got(10L).getAs[Int]("n_bullet_lines") == 9
+      && got(10L).getAs[Int]("n_lines") == 10)
+    assert(keep(11L) == 1 && got(11L).getAs[Int]("n_bullet_lines") == 8)
+    assert(keep(12L) == 0 && got(12L).getAs[Int]("n_ellipsis_lines") == 3)
+    assert(keep(13L) == 1 && got(13L).getAs[Int]("n_ellipsis_lines") == 2)
+  }
 }
