@@ -387,19 +387,18 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold (embedding near-dup), via
-    * sign-LSH candidate buckets + exact verification.
+    * sign-LSH candidate buckets + exact BUCKET-LOCAL verification.
     *
-    * Scale shape: the self-join runs on (vec_id, table, bucket) rows
-    * only — ids, never vectors; multi-table collision dedup happens on
-    * the id pair set. The vector re-attachment joins carry NO
-    * broadcast hint: the candidate-pair total is unbounded (occupancy
-    * caps bound each bucket, not the union — a near-dup-rich 100 TB
-    * corpus yields 10⁷–10⁸ pairs), so the join strategy is left to
-    * AQE, which broadcasts when the measured size is small and falls
-    * back to a shuffle join when it is not; either way the big
-    * embedding side is joined on ids. `maxBucket` caps bucket
-    * occupancy (same guard as the minhash/simhash paths) so one
-    * degenerate bucket can't go quadratic. `bits ≤ 0` derives the
+    * Scale shape: occupancy capping runs on (vec_id, table, bucket)
+    * rows only; the payload then attaches once per bucket row and the
+    * cosine + threshold filter streams inside the bucket self-join —
+    * the one heavy exchange is corpus × tables rows, INDEPENDENT of
+    * the candidate-pair count (a near-dup-rich 100 TB corpus yields
+    * 10⁷–10⁸+ pairs; any design that re-attaches vectors to the pair
+    * set shuffles pairs × payload — see the inline note). Only
+    * verified near-dups reach the final distinct. `maxBucket` caps
+    * bucket occupancy (same guard as the minhash/simhash paths) so
+    * one degenerate bucket can't go quadratic. `bits ≤ 0` derives the
     * width from log₂(corpus) via [[autoBits]] so occupancy stays
     * bounded as the corpus grows; the explicit default 5 matches the
     * recall-certified oracle settings for 10²–10⁴ vectors. */
@@ -419,28 +418,30 @@ object Similarity {
       .withColumn("occ", count(lit(1)).over(wBucket))
       .where(col("occ") <= maxBucket)
       .drop("occ")
-    val a = buckets.as("a"); val b = buckets.as("b")
-    val candIds = a.join(b,
+    // Verify BUCKET-LOCALLY, never via pair re-attach joins. The
+    // obvious design — dedup candidate id pairs, then join the
+    // embedding table back twice — materializes pairs × payload rows
+    // that must cross the second join's exchange: at 4M vectors /
+    // 128M candidates that is ~45-70 GB of shuffle for ~1.5 GB of
+    // vectors (measured: two ENOSPC'd bench runs, first as SMJ sort
+    // spill, then as shuffle write with hash-join hints — the BYTES
+    // are strategy-independent), and at 10⁹ vectors it is petabytes.
+    // Attaching the payload once per BUCKET ROW instead bounds the
+    // heavy exchange at corpus × tables rows — independent of how
+    // near-dup-rich the corpus is — and the cosine + threshold filter
+    // runs streaming inside the bucket join, so only true near-dups
+    // ever reach the final distinct. A pair colliding in several
+    // tables is verified once per collision (identical deterministic
+    // cos each time — distinct collapses them): redundant FLOPs are
+    // cheap; redundant shuffle bytes are not.
+    val heavy = buckets.join(e.hint("shuffle_hash"), "vec_id")
+    val a = heavy.as("a"); val b = heavy.as("b")
+    a.join(b,
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-    // no broadcast hints: candIds / withA are unbounded — but the
-    // vector re-attach must NOT be a sort-merge join: SMJ sorts the
-    // streamed candidate rows, and after the first re-attach each
-    // carries a ~dim·8-byte embedding payload, so the second join's
-    // sort spills candidates × payload (measured 63 GB at 4M vectors /
-    // 128M candidates — ENOSPC'd the 10× bench twice; at 10⁹ vectors
-    // it is petabytes of sort I/O that a hash join simply never does).
-    // shuffle_hash on the VECTOR side makes it the per-partition build
-    // table (n/parts rows — a few MB at any sane partitioning) and
-    // streams the candidate side unsorted. Values are join-strategy-
-    // independent: q_cosine_neardups stays byte-green.
-    val withA = e.hint("shuffle_hash").join(candIds, col("vec_id") === col("id_a"))
-      .select(col("id_a"), col("id_b"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val pairs = e.hint("shuffle_hash").join(withA, col("vec_id") === col("id_b"))
-    pairs.select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb"), col("nrm_a"), col("nrm")).as("cos"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        cosine(col("a.emb"), col("b.emb"), col("a.nrm"), col("b.nrm")).as("cos"))
       .where(col("cos") >= threshold)
+      .distinct()
   }
 }
