@@ -155,6 +155,10 @@ object PlanDump {
       ("Gopher rule filter: pure scan-local projection (Scan → Project, zero shuffle)",
         "all seven published rules as integer arithmetic (cross-multiplied thresholds, no floats) riding one projection — counts, per-rule flags and the keep bit in a single pass over the text",
         TextAnalysis.gopherFilter(Tables.documents(spark, sf))),
+      ("URL/domain blocklist filter: pure scan-local projection (Scan → Project, zero shuffle)",
+        "URL extraction + host lowering + dot-suffix blocklist fold all inside the scan's codegen stage — the C4/CCNet URL hygiene pass costs one pass over the text",
+        TextAnalysis.urlFilter(Tables.documents(spark, sf),
+          blocklist = Seq("spam.example.com", "tracker.net"))),
       ("line-level dedup: raw text crosses ONE exchange (doc_id reassembly); frequency agg runs on compact line hashes; the small boilerplate drop-set anti-joins via AQE broadcast",
         "C4-style boilerplate removal; the left join back keeps all-dropped documents with empty text",
         Dedup.lineDedup(Tables.documents(spark, sf), maxDocFreq = 2)),

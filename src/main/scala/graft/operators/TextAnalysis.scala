@@ -533,4 +533,37 @@ object TextAnalysis {
           col("n_alpha_words") * 10 >= col("n_words") * 8 &&
           col("n_req_stops") >= 2).cast("int"))
   }
+
+  // ---- URL / domain filtering ---------------------------------------------
+
+  /** URL extraction + domain-blocklist filtering — the C4/CCNet-style
+    * URL hygiene pass (C4 dropped pages whose source URL matched a
+    * blocklist; CCNet groups and filters by registrable domain).
+    * The corpus tables carry no source-URL column, so this operates on
+    * in-text URLs: extract `http(s)://host` occurrences ((?i), host =
+    * `[a-z0-9.-]+` — the portable Java∩RE2 subset, same discipline as
+    * the PII patterns), lowercase + dedup the hosts, and flag
+    * documents mentioning a blocklisted domain or any subdomain of
+    * one. Domains are returned as a sorted comma-joined string (ASCII
+    * after lowering, so the sort is engine-independent). Scan-local
+    * projection — zero shuffle at any corpus size; the blocklist is a
+    * compile-time literal fold, the standard shape for the small
+    * curated lists these passes use (a large list would become a
+    * broadcast semi-join on the exploded hosts instead). */
+  def urlFilter(docs: DataFrame, textCol: String = "text",
+      blocklist: Seq[String] = Nil): DataFrame = {
+    val urls = regexp_extract_all(col(textCol),
+      lit("(?i)https?://[a-z0-9.-]+"), lit(0))
+    val hosts = array_distinct(transform(urls,
+      u => lower(regexp_replace(u, "(?i)^https?://", ""))))
+    val blocked = (h: Column) => blocklist.map(b =>
+      h === lit(b) || h.endsWith(lit("." + b)))
+      .foldLeft(lit(false))(_ || _)
+    val nBlocked = size(filter(hosts, blocked))
+    docs.select(col("doc_id"),
+      size(urls).as("n_urls"),
+      array_join(array_sort(hosts), ",").as("domains"),
+      nBlocked.as("n_blocked"),
+      (nBlocked === 0).cast("int").as("keep"))
+  }
 }

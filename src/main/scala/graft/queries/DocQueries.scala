@@ -384,6 +384,25 @@ object DocQueries extends QuerySet {
         ).as("text"))
       ordered(TextAnalysis.gopherFilter(d))
     }),
+    // URL/domain blocklist filter: the corpus carries no URLs, so the
+    // query plants them — a blocked domain (%5), a SUBDOMAIN of a
+    // blocked domain in mixed case (%9, exercises (?i) + the
+    // dot-suffix rule), a benign domain (%4), a repeat of the same
+    // host (%20, dedup), and a scheme-only decoy that must NOT match —
+    // via expressions the oracle rebuilds verbatim
+    "q_url_filter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws(" ",
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit("see https://spam.example.com/path now")),
+          when(col("doc_id") % 9 === 0, lit("via HTTPS://Ads.Tracker.NET/pixel?id=1")),
+          when(col("doc_id") % 4 === 0, lit("docs at http://docs.example.org/guide")),
+          when(col("doc_id") % 20 === 0, lit("again https://spam.example.com/other")),
+          lit("malformed http:// gap stays out")
+        ).as("text"))
+      ordered(TextAnalysis.urlFilter(d,
+        blocklist = Seq("spam.example.com", "tracker.net")))
+    }),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -1131,5 +1150,42 @@ object DocQueries extends QuerySet {
         |FROM c
         |ORDER BY doc_id, n_words, n_word_chars, n_symbols, n_lines,
         |         n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_req_stops, keep""".stripMargin,
+    // URL/domain blocklist filter: regexp_extract_all + host lowering
+    // + dot-suffix blocklist rules replayed verbatim; hosts are ASCII
+    // after lowering so list_sort matches Spark's binary array_sort;
+    // coalesce because DuckDB array_to_string(empty list) is NULL
+    // where Spark's array_join is ''
+    "q_url_filter" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ',
+        |      text,
+        |      CASE WHEN doc_id % 5 = 0 THEN 'see https://spam.example.com/path now' END,
+        |      CASE WHEN doc_id % 9 = 0 THEN 'via HTTPS://Ads.Tracker.NET/pixel?id=1' END,
+        |      CASE WHEN doc_id % 4 = 0 THEN 'docs at http://docs.example.org/guide' END,
+        |      CASE WHEN doc_id % 20 = 0 THEN 'again https://spam.example.com/other' END,
+        |      'malformed http:// gap stays out') AS text
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '(?i)https?://[a-z0-9.-]+') AS urls
+        |  FROM aug),
+        |h AS (
+        |  SELECT doc_id, urls,
+        |    list_distinct(list_transform(urls,
+        |      x -> lower(regexp_replace(x, '(?i)^https?://', '')))) AS hosts
+        |  FROM u),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(len(urls) AS INT) AS n_urls,
+        |    coalesce(array_to_string(list_sort(hosts), ','), '') AS domains,
+        |    CAST(len(list_filter(hosts, d ->
+        |      d = 'spam.example.com' OR ends_with(d, '.spam.example.com')
+        |      OR d = 'tracker.net' OR ends_with(d, '.tracker.net'))) AS INT) AS n_blocked
+        |  FROM h)
+        |SELECT doc_id, n_urls, domains, n_blocked,
+        |       CAST(n_blocked = 0 AS INT) AS keep
+        |FROM b
+        |ORDER BY doc_id, n_urls, domains, n_blocked, keep""".stripMargin,
   )
 }

@@ -1003,4 +1003,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(keep(12L) == 0 && got(12L).getAs[Int]("n_ellipsis_lines") == 3)
     assert(keep(13L) == 1 && got(13L).getAs[Int]("n_ellipsis_lines") == 2)
   }
+
+  test("urlFilter: extraction, case, subdomain suffix, dedup and decoys") {
+    val docs = Seq(
+      (1L, "plain text no urls"),
+      (2L, "x https://spam.example.com/a and https://spam.example.com/b y"),
+      (3L, "sub HTTP://Deep.Spam.Example.COM/z"),
+      (4L, "ok http://docs.example.org/guide"),
+      // suffix precision: '…comx' merely CONTAINS the blocked string —
+      // neither equal nor a dot-subdomain; scheme-only decoy no match
+      (5L, "notspam https://notspam.example.comx/ and http:// gap"),
+      (6L, "https://a.tracker.net/p and https://nettracker.netx/")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.urlFilter(docs,
+        blocklist = Seq("spam.example.com", "tracker.net"))
+      .as[(Long, Int, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0, "", 0, 1)))
+    assert(got(2L) == ((2L, 2, "spam.example.com", 1, 0)))
+    assert(got(3L) == ((3L, 1, "deep.spam.example.com", 1, 0)))
+    assert(got(4L) == ((4L, 1, "docs.example.org", 0, 1)))
+    assert(got(5L) == ((5L, 1, "notspam.example.comx", 0, 1)))
+    assert(got(6L) == ((6L, 2, "a.tracker.net,nettracker.netx", 1, 0)))
+    // empty blocklist keeps everything
+    assert(TextAnalysis.urlFilter(docs).where(col("keep") === 0).count() == 0)
+  }
 }
