@@ -91,8 +91,8 @@ object PlanDump {
       ("IVF ANN top-k: bounded pivot broadcast, scan-local assignment, id-only candidate flow",
         "pivot count ≈ √n (adaptive), inverted lists occupancy-capped; assignment is ONE compiled cent_topk kernel in the corpus scan (n rows in, n out — the centroid table rides the task binary as a codegen reference object), replacing the former broadcast-join + rank-window shape that materialized and locally sorted n·C scored rows (10¹³⁺ at a 10⁹-vector corpus) before WindowGroupLimit trimmed them; vectors re-attach via AQE-chosen join",
         Similarity.ivfTopK(e, e.where(col("vec_id") < 3), 5, centroidStep = 16, nProbe = 2)),
-      ("cosine near-dup self-join WITHOUT forced broadcasts (candidate joins left to AQE)",
-        "ids-only candidate set; embedding vectors join on ids, strategy chosen at runtime",
+      ("cosine near-dup self-join: BUCKET-LOCAL verification (one heavy exchange of corpus×tables rows, AQE-reused across the self-join sides)",
+        "occupancy capping runs on skinny id rows; the payload attaches once per bucket row (ShuffledHashJoin, vectors build-side) and cosine+threshold stream inside the bucket join — candidate pairs NEVER carry payloads across an exchange (the pairs×payload re-attach design ENOSPC'd at 4M vectors); only verified near-dups reach the final distinct",
         Similarity.cosineSelfJoin(e, 0.9, bits = 6, tables = 4)),
       ("multi-level stat_by_index: ONE grouping-sets pass (Expand → partial agg → one exchange)",
         "all prefix levels of the (l1, l2) index hierarchy share a single scan+shuffle; thunder re-aggregates once per level",
