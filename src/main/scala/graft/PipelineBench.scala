@@ -144,6 +144,23 @@ object PipelineBench {
       graft.operators.TextAnalysis.contamination(docs,
         docs.where(col("doc_id") % 997 === 0)))
 
+    // ---- corpus-filter passes (round-5 rule projections + line dedup) --
+    // semantics are oracle-certified on planted fixtures; these rows
+    // measure the SHAPE at volume — the rule filters must stay one
+    // Scan→Project pass (no explode, no shuffle), line dedup must stay
+    // two exchanges (line-hash agg + doc_id reassembly)
+    if (only("pii")) timedWrite("pii_redact",
+      graft.operators.TextAnalysis.redactPii(docs))
+    if (only("c4")) timedWrite("c4_filter",
+      graft.operators.TextAnalysis.c4Filter(docs))
+    if (only("gopher")) timedWrite("gopher_filter",
+      graft.operators.TextAnalysis.gopherFilter(docs))
+    if (only("url")) timedWrite("url_filter",
+      graft.operators.TextAnalysis.urlFilter(docs,
+        blocklist = Seq("spam.example.com", "tracker.net")))
+    if (only("linededup")) timedWrite("line_dedup",
+      Dedup.lineDedup(docs, maxDocFreq = 2))
+
     // ---- k-means quantizer build (the learned-centroid path) -----------
     if (only("kmeans")) {
       val t0 = System.nanoTime()

@@ -79,11 +79,18 @@ object Dedup {
     * could drop an innocent line — at 2⁻¹²⁸ that is the standard
     * content-hash assumption the exact-dedup pass already makes.)
     * Documents whose every line dropped come back with empty text
-    * (left join), so the output is total over the input corpus. */
-  def lineDedup(docs: DataFrame, maxDocFreq: Int = 2): DataFrame = {
+    * (left join), so the output is total over the input corpus.
+    *
+    * `sep` sets the dedup granularity (a regex): "\n" (default) is
+    * the published C4 line pass; "\n\n+" dedups PARAGRAPHS (blank-line
+    * separated blocks — the unit template-generated boilerplate
+    * usually repeats at); reassembly joins with `joinSep`. Same plan
+    * at any granularity. */
+  def lineDedup(docs: DataFrame, maxDocFreq: Int = 2,
+      sep: String = "\n", joinSep: String = "\n"): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
     val lines = docs
-      .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .select(col("doc_id"), posexplode(split(col("text"), sep)))
       .select(col("doc_id"), col("pos").as("line_idx"), col("col").as("line"))
     val drop = lines
       .select(md5(col("line")).as("lh"), col("doc_id"))
@@ -95,7 +102,7 @@ object Dedup {
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
-          x => x.getField("line")), "\n").as("text"))
+          x => x.getField("line")), joinSep).as("text"))
     docs.select(col("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))

@@ -797,6 +797,27 @@ class PipelineOpsSpec extends SparkSpecBase {
       "body three\nFOOT", "solo line", ""))
   }
 
+  test("lineDedup paragraph mode: blank-line blocks dedup as units, not lines") {
+    // line 'alpha' repeats in 3 docs but always inside a DIFFERENT
+    // paragraph; the footer PARAGRAPH repeats verbatim in all 3
+    val docs = Seq(
+      (1L, "alpha\nbeta1\n\nSHARED FOOTER\nfine print"),
+      (2L, "alpha\nbeta2\n\nSHARED FOOTER\nfine print"),
+      (3L, "alpha\nbeta3\n\nSHARED FOOTER\nfine print")
+    ).toDF("doc_id", "text")
+    val para = Dedup.lineDedup(docs, maxDocFreq = 2, sep = "\n\n+", joinSep = "\n\n")
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    // paragraph granularity: footer block drops as a unit; the alpha
+    // paragraphs differ doc-to-doc (df=1) so they survive INTACT
+    assert(para == Seq("alpha\nbeta1", "alpha\nbeta2", "alpha\nbeta3"))
+    // line granularity over the same corpus drops alpha, the blank
+    // separator line and both footer lines individually — the two
+    // modes answer different questions
+    val line = Dedup.lineDedup(docs, maxDocFreq = 2)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(line == Seq("beta1", "beta2", "beta3"))
+  }
+
   test("packSequences: a genuine Int.MinValue shard opens a fresh bin (no sentinel aliasing)") {
     // an oversized first document in shard Int.MinValue must take
     // bin 0 alone — the old sentinel-shard state made the first row
