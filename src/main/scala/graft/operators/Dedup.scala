@@ -89,15 +89,33 @@ object Dedup {
   def lineDedup(docs: DataFrame, maxDocFreq: Int = 2,
       sep: String = "\n", joinSep: String = "\n"): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
-    val lines = docs
-      .select(col("doc_id"), posexplode(split(col("text"), sep)))
-      .select(col("doc_id"), col("pos").as("line_idx"), col("col").as("line"))
-    val drop = lines
+    val drop = lineFreqs(docs, sep)
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("lh"))
+    lineDedupAgainst(docs, drop, sep, joinSep)
+  }
+
+  /** Per-line-hash DOCUMENT frequency over `docs` — the aggregate
+    * [[lineDedup]] thresholds, exposed so an incremental index
+    * ([[LineDedupIndex]]) can persist per-batch partials (batches
+    * carry disjoint doc_id sets, so partial doc_freqs SUM to the
+    * corpus-wide value exactly). Compact (lh, doc_freq) rows only. */
+  def lineFreqs(docs: DataFrame, sep: String = "\n"): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), sep)).as("line"))
       .select(md5(col("line")).as("lh"), col("doc_id"))
       .groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"))
-      .where(col("doc_freq") > maxDocFreq)
-      .select(col("lh"))
+
+  /** Reassembly half of [[lineDedup]]: drop every line whose md5 is
+    * in `drop` (one column `lh`), rebuild documents in original line
+    * order, keep all-dropped docs with empty text. The drop set is
+    * the boilerplate set — small by definition — so the anti join is
+    * AQE-broadcast; raw text crosses only the doc_id exchange. */
+  def lineDedupAgainst(docs: DataFrame, drop: DataFrame,
+      sep: String = "\n", joinSep: String = "\n"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), sep)))
+      .select(col("doc_id"), col("pos").as("line_idx"), col("col").as("line"))
     val kept = lines.join(drop, md5(col("line")) === col("lh"), "left_anti")
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(array_join(

@@ -66,3 +66,52 @@ class DedupIndex(spark: SparkSession, root: String, k: Int = 32,
       .distinct()
   }
 }
+
+/** Incrementally-maintained line-frequency index for C4-style
+  * cross-document line dedup ([[Dedup.lineDedup]]) — the same
+  * append-only discipline as [[DedupIndex]] (MinHash) and the IVF
+  * [[AnnIndex]], applied to the boilerplate-frequency aggregate:
+  *
+  *   - `addBatch` explodes + hashes ONLY the new batch's lines and
+  *     appends compact (lh, doc_freq) partials with runId lineage —
+  *     batches carry disjoint doc_id sets (appends), so per-batch
+  *     `countDistinct(doc_id)` partials SUM to the corpus-wide
+  *     document frequency exactly;
+  *   - `dropSet` aggregates the cumulative partials at query time
+  *     (the threshold is never frozen at what a batch saw — same
+  *     query-time-cap discipline as DedupIndex/AnnIndex);
+  *   - `dedup(docs)` equals one-shot `lineDedup` over the union of
+  *     the appended batches BY CONSTRUCTION, because the drop set is
+  *     a pure function of the summed frequencies.
+  *
+  * At 100 TB: a day's ingest scans only its own text; the index
+  * carries one compact row per distinct line hash per batch, and the
+  * anti-join side stays the small boilerplate set. */
+class LineDedupIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+    sep: String = "\n", nBuckets: Int = 16) {
+
+  val table = new AppendIndexTable(spark, root, nBuckets)
+
+  /** Hash + count one document batch; false = runId already committed
+    * (resume no-op). Batches must not share doc_ids (append-only
+    * corpus growth — re-submitting a batch is what runIds are for). */
+  def addBatch(docs: DataFrame, runId: String): Boolean =
+    table.append(Dedup.lineFreqs(docs, sep), runId, hashCol = "lh")
+
+  /** Line hashes whose CUMULATIVE document frequency exceeds
+    * `maxDocFreq` — the boilerplate set over everything indexed. */
+  def dropSet(maxDocFreq: Int = 2): DataFrame =
+    table.read().groupBy(col("lh"))
+      .agg(sum(col("doc_freq")).as("doc_freq"))
+      .where(col("doc_freq") > maxDocFreq)
+      .select(col("lh"))
+
+  /** Dedup `docs` against the cumulative index. When `docs` is the
+    * union of every appended batch this is bit-identical to one-shot
+    * [[Dedup.lineDedup]]; it also answers the incremental question
+    * "clean TODAY's batch against everything seen so far" without
+    * re-reading old text. */
+  def dedup(docs: DataFrame, maxDocFreq: Int = 2,
+      joinSep: String = "\n"): DataFrame =
+    Dedup.lineDedupAgainst(docs, dropSet(maxDocFreq), sep, joinSep)
+}

@@ -329,6 +329,29 @@ object DocQueries extends QuerySet {
         ).as("text"))
       ordered(Dedup.lineDedup(d, maxDocFreq = 2))
     }),
+    // INCREMENTAL line dedup (LineDedupIndex): the same planted corpus
+    // appended in 3 disjoint batches (+ a lineage-skipped replay of
+    // batch 1); per-batch countDistinct partials SUM to the global
+    // document frequency because batches are doc-disjoint, so the
+    // cumulative drop set — and the dedup output — must be identical
+    // to one-shot lineDedup. The oracle IS q_line_dedup's oracle.
+    "q_line_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("header variant "), (col("doc_id") % 5).cast("string")),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 97 === 0,
+            concat(lit("rare footer "), (col("doc_id") % 3).cast("string")))
+        ).as("text"))
+      val root = freshDir(s"graft_qldi_${math.abs(dir.hashCode).toString}")
+      val idx = new graft.operators.LineDedupIndex(s, root)
+      (0 until 3).foreach { i =>
+        idx.addBatch(d.where(pmod(col("doc_id"), lit(3)) === i), s"qldi_batch$i")
+      }
+      idx.addBatch(d.where(pmod(col("doc_id"), lit(3)) === 1), "qldi_batch1")
+      ordered(idx.dedup(d, maxDocFreq = 2))
+    }),
     // C4 rule filter (Raffel et al. 2020): the corpus carries no
     // newlines or sentence punctuation, so the query plants every rule
     // boundary deterministically — a kept terminal-punct line, an
@@ -531,6 +554,38 @@ object DocQueries extends QuerySet {
       |  FROM sc)
       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** One-shot line-dedup replay: unnest-with-index + doc-frequency
+    * GROUP BY + ordered string_agg reassembly over the planted
+    * multiline construction. Shared by q_line_dedup and
+    * q_line_dedup_incremental (the incremental index is provably
+    * identical to one-shot — doc-disjoint batch partials sum to the
+    * global document frequency). */
+  private lazy val lineDedupOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10),
+      |      'header variant ' || CAST(doc_id % 5 AS VARCHAR),
+      |      text,
+      |      CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
+      |      CASE WHEN doc_id % 97 = 0 THEN 'rare footer ' || CAST(doc_id % 3 AS VARCHAR) END) AS text
+      |  FROM documents),
+      |lx AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug),
+      |lines AS (
+      |  SELECT doc_id,
+      |         unnest([{'idx': i, 'ln': ls[i+1]} for i in range(0, len(ls))],
+      |                recursive := true)
+      |  FROM lx),
+      |freq AS (SELECT ln, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
+      |kept AS (
+      |  SELECT l.doc_id, l.idx, l.ln
+      |  FROM lines l JOIN freq f USING (ln) WHERE f.df <= 2),
+      |reb AS (
+      |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.text, '') AS text
+      |FROM documents d LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id, text""".stripMargin
 
   private lazy val minhashLshOracle: String =
     s"""WITH ${shCte(3)},
@@ -1027,31 +1082,11 @@ object DocQueries extends QuerySet {
     // line-level dedup: independent unnest-with-index + doc-frequency
     // GROUP BY + ordered string_agg reassembly over the same planted
     // multiline construction
-    "q_line_dedup" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    concat_ws(chr(10),
-        |      'header variant ' || CAST(doc_id % 5 AS VARCHAR),
-        |      text,
-        |      CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter' END,
-        |      CASE WHEN doc_id % 97 = 0 THEN 'rare footer ' || CAST(doc_id % 3 AS VARCHAR) END) AS text
-        |  FROM documents),
-        |lx AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM aug),
-        |lines AS (
-        |  SELECT doc_id,
-        |         unnest([{'idx': i, 'ln': ls[i+1]} for i in range(0, len(ls))],
-        |                recursive := true)
-        |  FROM lx),
-        |freq AS (SELECT ln, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
-        |kept AS (
-        |  SELECT l.doc_id, l.idx, l.ln
-        |  FROM lines l JOIN freq f USING (ln) WHERE f.df <= 2),
-        |reb AS (
-        |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text
-        |  FROM kept GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(r.text, '') AS text
-        |FROM documents d LEFT JOIN reb r USING (doc_id)
-        |ORDER BY doc_id, text""".stripMargin,
+    "q_line_dedup" -> lineDedupOracle,
+    // incremental index ≡ one-shot by construction (doc-disjoint
+    // batch partials sum to the global df) — the oracle IS
+    // q_line_dedup's oracle, same discipline as q_dedup_incremental
+    "q_line_dedup_incremental" -> lineDedupOracle,
     // C4 rule filter: list_filter replays the line rules, regexp_replace
     // counts terminal punctuation on the cleaned text, and the keep flag
     // replays the document rules — all over the same planted multiline

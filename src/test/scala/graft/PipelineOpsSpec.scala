@@ -117,6 +117,42 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(inc.exists { case (a, b, _) => b - a == 40 })
   }
 
+  test("incremental line-dedup index: batch appends + resume ≡ one-shot lineDedup") {
+    // boilerplate whose document frequency only crosses the cap
+    // ACROSS batches: 'common footer' appears once per batch (df=1
+    // per batch, 3 total) — the drop decision REQUIRES summing the
+    // persisted partials, not any single batch's count
+    val corpus = (0 until 12).map { i =>
+      (i.toLong,
+        if (i % 4 == 0) s"body $i only\ncommon footer" // docs 0,4,8 → one per batch
+        else s"body $i only")
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_line_idx").toString
+    val idx = new LineDedupIndex(spark, root)
+    (0 until 3).foreach { b =>
+      idx.addBatch(corpus.where(col("doc_id") % 3 === b), s"b$b")
+    }
+    // resume: replaying a committed batch is a lineage no-op
+    val vBefore = idx.table.currentVersion
+    assert(!idx.addBatch(corpus.where(col("doc_id") % 3 === 1), "b1"))
+    assert(idx.table.currentVersion == vBefore)
+    // cumulative df('common footer') = 1+1+1 = 3 > 2 → dropped, even
+    // though NO single batch saw it more than twice
+    val inc = idx.dedup(corpus, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(inc(0L) == "body 0 only" && inc(3L) == "body 3 only")
+    assert(inc.values.forall(!_.contains("common footer")))
+    // ≡ one-shot lineDedup over the same corpus, exactly
+    val oneShot = Dedup.lineDedup(corpus, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap
+    assert(inc == oneShot)
+    // incremental question: clean a NEW batch against the index
+    // without re-reading old text
+    val fresh = Seq((100L, "new body\ncommon footer")).toDF("doc_id", "text")
+    assert(idx.dedup(fresh, maxDocFreq = 2)
+      .as[(Long, String)].collect().toMap.apply(100L) == "new body")
+  }
+
   test("dedup candidate volume stays sub-quadratic at 50k docs with total planted-dup recall") {
     // the r3 gap: every dedup number came from ~5k docs. DocGen plants
     // 5k exact dups, 5k near dups and a boilerplate class in a 50k
