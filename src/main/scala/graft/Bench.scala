@@ -171,7 +171,8 @@ object Bench {
     // reading clean; the stateful rows only contaminate each other.
     val stateful = Set("q_tier_merge", "q_tier_changes", "q_streaming_rollup",
       "q_streaming_dedup", "q_streaming_sessions", "q_streaming_latency",
-      "q_dedup_incremental", "q_ann_incremental", "q_line_dedup_incremental")
+      "q_dedup_incremental", "q_ann_incremental", "q_line_dedup_incremental",
+      "q_streaming_line_dedup")
     val orderedQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .sortBy { case (name, _) => stateful(name) } // stable: alpha within class
     val results = orderedQs.map { case (name, fn) =>

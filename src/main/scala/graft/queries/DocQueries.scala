@@ -352,6 +352,37 @@ object DocQueries extends QuerySet {
       idx.addBatch(d.where(pmod(col("doc_id"), lit(3)) === 1), "qldi_batch1")
       ordered(idx.dedup(d, maxDocFreq = 2))
     }),
+    // STREAMING line-dedup indexing: the planted corpus replayed as a
+    // bounded file stream in ≥3 micro-batches, frequency partials
+    // appended per batch via foreachBatch with runId/batchId lineage.
+    // Partials are additive and order-insensitive (no mtime pinning
+    // needed) — the streamed index's dedup must equal ONE-SHOT
+    // lineDedup; the oracle IS q_line_dedup's oracle. Completes the
+    // one-shot/batch/streaming triangle for the line-dedup family.
+    "q_streaming_line_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("header variant "), (col("doc_id") % 5).cast("string")),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("subscribe to our newsletter")),
+          when(col("doc_id") % 97 === 0,
+            concat(lit("rare footer "), (col("doc_id") % 3).cast("string")))
+        ).as("text"))
+      val base = freshDir(s"graft_qsld_${math.abs(dir.hashCode).toString}")
+      (0 until 3).foreach { i =>
+        d.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.StreamingLineDedup
+        .indexWriter(stream, s"$base/idx", "qsld_run")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      val idx = new graft.operators.LineDedupIndex(s, s"$base/idx")
+      ordered(idx.dedup(d, maxDocFreq = 2))
+    }),
     // C4 rule filter (Raffel et al. 2020): the corpus carries no
     // newlines or sentence punctuation, so the query plants every rule
     // boundary deterministically — a kept terminal-punct line, an
@@ -1087,6 +1118,7 @@ object DocQueries extends QuerySet {
     // batch partials sum to the global df) — the oracle IS
     // q_line_dedup's oracle, same discipline as q_dedup_incremental
     "q_line_dedup_incremental" -> lineDedupOracle,
+    "q_streaming_line_dedup" -> lineDedupOracle,
     // C4 rule filter: list_filter replays the line rules, regexp_replace
     // counts terminal punctuation on the cleaned text, and the keep flag
     // replays the document rules — all over the same planted multiline

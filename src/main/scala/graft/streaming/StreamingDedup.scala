@@ -34,3 +34,28 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
   }
 }
+
+/** Streaming twin of [[graft.operators.LineDedupIndex]]: each
+  * micro-batch's line-frequency partials append to the persistent
+  * index with runId/batchId lineage. Partials are additive over
+  * doc-disjoint micro-batches, so a stream restarted from checkpoint
+  * (replayed batch = lineage no-op) converges to the same cumulative
+  * frequencies — and therefore the same drop set and dedup output —
+  * as the one-shot batch pass. */
+object StreamingLineDedup {
+
+  /** foreachBatch writer appending each micro-batch of documents
+    * (doc_id, text) to the LineDedupIndex at `root`. */
+  def indexWriter(docs: DataFrame, root: String, runId: String,
+      sep: String = "\n", nBuckets: Int = 16): DataStreamWriter[Row] = {
+    docs.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val idx = new graft.operators.LineDedupIndex(
+          batch.sparkSession, root, sep, nBuckets)
+        idx.addBatch(batch, s"$runId/$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+  }
+}
