@@ -143,6 +143,12 @@ object PipelineBench {
     if (only("contamination")) timedWrite("contamination",
       graft.operators.TextAnalysis.contamination(docs,
         docs.where(col("doc_id") % 997 === 0)))
+    // FIXED-size eval set (first 1000 docs regardless of corpus size):
+    // the realistic deployment shape — eval sets don't grow with the
+    // corpus — isolating the corpus-side scaling of the probe
+    if (only("contamfixed")) timedWrite("contam_fixed",
+      graft.operators.TextAnalysis.contamination(docs,
+        docs.where(col("doc_id") < 1000)))
 
     // ---- corpus-filter passes (round-5 rule projections + line dedup) --
     // semantics are oracle-certified on planted fixtures; these rows

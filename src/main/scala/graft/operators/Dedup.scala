@@ -248,15 +248,35 @@ object Dedup {
       minWords: Int = 7, maxBucket: Int = 1000): DataFrame = {
     require(minWords >= k,
       s"minWords=$minWords below gram size $k — sub-gram matches are invisible")
+    verifySubstrings(
+      substringCandidates(TextAnalysis.winnowing(docs, k, window), maxBucket),
+      docs, k, minWords)
+  }
+
+  /** Candidate half of [[substringDups]]: occupancy-capped fingerprint
+    * self-join over (doc_id, fp) rows. A pure function of the
+    * fingerprint ROW SET — so an incrementally-maintained fingerprint
+    * index ([[SubstringDedupIndex]]) yields identical candidates to a
+    * one-shot winnowing pass over the union, by construction. */
+  def substringCandidates(fps: DataFrame, maxBucket: Int = 1000): DataFrame = {
     val wFp = Window.partitionBy(col("fp"))
-    val fps = TextAnalysis.winnowing(docs, k, window)
+    val capped = fps
       .withColumn("occ", count(lit(1)).over(wFp))
       .where(col("occ") <= maxBucket)
       .drop("occ")
-    val cand = fps.as("a").join(fps.as("b"),
+    capped.as("a").join(capped.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Verification half of [[substringDups]]: exact
+    * longest-common-word-substring on candidate pairs only (diagonal
+    * islands over gram-position rows; a run of R matching k-grams is
+    * exactly a common substring of R + k − 1 words). Touches the text
+    * of candidate docs only. */
+  def verifySubstrings(cand: DataFrame, docs: DataFrame, k: Int,
+      minWords: Int): DataFrame = {
     // gram-position rows (doc_id, pos, g) — multiplicity + order kept
     val grams = docs
       .withColumn("__toks", split(lower(col("text")), "\\s+"))

@@ -115,3 +115,49 @@ class LineDedupIndex(spark: org.apache.spark.sql.SparkSession, root: String,
       joinSep: String = "\n"): DataFrame =
     Dedup.lineDedupAgainst(docs, dropSet(maxDocFreq), sep, joinSep)
 }
+
+/** Incrementally-maintained winnowing-fingerprint index for
+  * substring-level dedup ([[Dedup.substringDups]]) — the last dedup
+  * family to get the append-only treatment:
+  *
+  *   - `addBatch` winnows ONLY the new batch's text (the expensive
+  *     scan) and appends compact (doc_id, fp) rows with runId
+  *     lineage;
+  *   - `candidatePairs` is [[Dedup.substringCandidates]] over the
+  *     cumulative rows — occupancy cap applied at query time, so it
+  *     equals one-shot winnowing over the union by construction;
+  *   - `dups(docs)` runs the exact-LCS verification against the
+  *     supplied text — verification touches CANDIDATE docs only, so
+  *     the old corpus's text is re-read only where a new collision
+  *     demands it, never wholesale.
+  *
+  * With MinHash bands (DedupIndex), line frequencies (LineDedupIndex)
+  * and IVF assignments (AnnIndex), every candidate-generating
+  * structure in the engine is now append-only-maintainable with
+  * certified one-shot equivalence. */
+class SubstringDedupIndex(spark: SparkSession, root: String,
+    k: Int = 4, window: Int = 4, nBuckets: Int = 16) {
+
+  val table = new AppendIndexTable(spark, root, nBuckets)
+
+  /** Winnow + append one document batch; false = runId already
+    * committed (resume no-op). */
+  def addBatch(docs: DataFrame, runId: String): Boolean =
+    table.append(graft.operators.TextAnalysis.winnowing(docs, k, window),
+      runId, hashCol = "fp")
+
+  /** The accumulated (doc_id, fp) fingerprint rows. */
+  def fps: DataFrame = table.read().select("doc_id", "fp")
+
+  /** Candidate pairs over everything indexed — identical to one-shot
+    * substring candidates over the union of the batches. */
+  def candidatePairs(maxBucket: Int = 1000): DataFrame =
+    Dedup.substringCandidates(fps, maxBucket)
+
+  /** Full substring-dup output (exact LCS ≥ minWords) verified
+    * against `docs` — equals one-shot [[Dedup.substringDups]] when
+    * `docs` is the union of the appended batches. */
+  def dups(docs: DataFrame, minWords: Int = 7,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.verifySubstrings(candidatePairs(maxBucket), docs, k, minWords)
+}

@@ -312,6 +312,29 @@ object DocQueries extends QuerySet {
           .otherwise(col("text")).as("text"))
       ordered(Dedup.substringDups(aug, k = 4, window = 4, minWords = 12))
     }),
+    // INCREMENTAL substring dedup (SubstringDedupIndex): the same
+    // planted corpus winnowed in 3 disjoint batch appends (+ a
+    // lineage-skipped replay); candidates are a pure function of the
+    // cumulative fingerprint ROW SET (occupancy cap at query time),
+    // so the verified output must equal one-shot substringDups — the
+    // oracle IS q_substring_dups' oracle. Completes the append-only
+    // story for the last dedup family.
+    "q_substring_dups_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = d.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" shared passage variant "),
+            (col("doc_id") % 3).cast("string"),
+            lit(" carries twelve exactly matching words copied across documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      val root = freshDir(s"graft_qsdi_${math.abs(dir.hashCode).toString}")
+      val idx = new graft.operators.SubstringDedupIndex(s, root, k = 4, window = 4)
+      (0 until 3).foreach { i =>
+        idx.addBatch(aug.where(pmod(col("doc_id"), lit(3)) === i), s"qsdi_batch$i")
+      }
+      idx.addBatch(aug.where(pmod(col("doc_id"), lit(3)) === 2), "qsdi_batch2")
+      ordered(idx.dups(aug, minWords = 12))
+    }),
     // C4-style cross-document line-level dedup: multiline documents
     // built deterministically (5 shared header variants and an
     // every-other-doc footer = boilerplate to drop; the unique body
@@ -585,6 +608,57 @@ object DocQueries extends QuerySet {
       |  FROM sc)
       |SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
       |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** One-shot substring-dup replay (grams → window minima → cap →
+    * diagonal islands), shared by q_substring_dups and
+    * q_substring_dups_incremental. */
+  private lazy val substringDupsOracle: String =
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN text || ' shared passage variant ' || CAST(doc_id % 3 AS VARCHAR) ||
+        |              ' carries twelve exactly matching words copied across documents verbatim'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM aug),
+        |gr AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) >= 4 THEN
+        |           [md5(array_to_string(toks[i+1:i+4], ' ')) for i in range(0, len(toks)-4+1)]
+        |         ELSE [] END AS hs
+        |  FROM tk),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id,
+        |           unnest(CASE WHEN len(hs) >= 4 THEN
+        |             [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-4+1)]
+        |           ELSE [] END) AS fp
+        |    FROM gr)),
+        |fpc AS (SELECT * FROM fp QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |gp AS (
+        |  SELECT doc_id,
+        |         unnest([{'pos': i, 'g': hs[i+1]} for i in range(0, len(hs))],
+        |                recursive := true)
+        |  FROM gr),
+        |m AS (
+        |  SELECT doc_a, doc_b, ga.pos AS pa, gb.pos AS pb
+        |  FROM cand
+        |  JOIN gp ga ON ga.doc_id = cand.doc_a
+        |  JOIN gp gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g),
+        |runs AS (
+        |  SELECT doc_a, doc_b, pa - pb AS diag,
+        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+        |                                 ORDER BY pa) AS isl
+        |  FROM m),
+        |rl AS (SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
+        |       FROM runs GROUP BY doc_a, doc_b, diag, isl)
+        |SELECT doc_a, doc_b, CAST(MAX(run) + 3 AS BIGINT) AS lcs_words
+        |FROM rl GROUP BY doc_a, doc_b
+        |HAVING MAX(run) + 3 >= 12
+        |ORDER BY doc_a, doc_b, lcs_words""".stripMargin
 
   /** One-shot line-dedup replay: unnest-with-index + doc-frequency
     * GROUP BY + ordered string_agg reassembly over the planted
@@ -1063,53 +1137,11 @@ object DocQueries extends QuerySet {
     // substring dedup: grams → md5 → winnowing window-minima →
     // capped fingerprint self-join → gram-position join → diagonal
     // islands → max run + (k−1)
-    "q_substring_dups" ->
-      """WITH aug AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 = 0
-        |         THEN text || ' shared passage variant ' || CAST(doc_id % 3 AS VARCHAR) ||
-        |              ' carries twelve exactly matching words copied across documents verbatim'
-        |         ELSE text END AS text
-        |  FROM documents),
-        |tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM aug),
-        |gr AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(toks) >= 4 THEN
-        |           [md5(array_to_string(toks[i+1:i+4], ' ')) for i in range(0, len(toks)-4+1)]
-        |         ELSE [] END AS hs
-        |  FROM tk),
-        |fp AS (
-        |  SELECT DISTINCT doc_id, fp FROM (
-        |    SELECT doc_id,
-        |           unnest(CASE WHEN len(hs) >= 4 THEN
-        |             [list_min(hs[i+1:i+4]) for i in range(0, len(hs)-4+1)]
-        |           ELSE [] END) AS fp
-        |    FROM gr)),
-        |fpc AS (SELECT * FROM fp QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 1000),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-        |gp AS (
-        |  SELECT doc_id,
-        |         unnest([{'pos': i, 'g': hs[i+1]} for i in range(0, len(hs))],
-        |                recursive := true)
-        |  FROM gr),
-        |m AS (
-        |  SELECT doc_a, doc_b, ga.pos AS pa, gb.pos AS pb
-        |  FROM cand
-        |  JOIN gp ga ON ga.doc_id = cand.doc_a
-        |  JOIN gp gb ON gb.doc_id = cand.doc_b AND gb.g = ga.g),
-        |runs AS (
-        |  SELECT doc_a, doc_b, pa - pb AS diag,
-        |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-        |                                 ORDER BY pa) AS isl
-        |  FROM m),
-        |rl AS (SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
-        |       FROM runs GROUP BY doc_a, doc_b, diag, isl)
-        |SELECT doc_a, doc_b, CAST(MAX(run) + 3 AS BIGINT) AS lcs_words
-        |FROM rl GROUP BY doc_a, doc_b
-        |HAVING MAX(run) + 3 >= 12
-        |ORDER BY doc_a, doc_b, lcs_words""".stripMargin,
+    "q_substring_dups" -> substringDupsOracle,
+    // incremental fingerprint index ≡ one-shot by construction
+    // (candidates are a pure function of the cumulative row set) —
+    // the oracle IS q_substring_dups' oracle
+    "q_substring_dups_incremental" -> substringDupsOracle,
     // line-level dedup: independent unnest-with-index + doc-frequency
     // GROUP BY + ordered string_agg reassembly over the same planted
     // multiline construction

@@ -153,6 +153,35 @@ class PipelineOpsSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toMap.apply(100L) == "new body")
   }
 
+  test("incremental substring index: batch appends + resume ≡ one-shot substringDups") {
+    // a 9-word passage shared across batches: candidates REQUIRE
+    // cross-batch fingerprint collisions from the persisted index
+    val passage = "one two three four five six seven eight nine"
+    val corpus = (0 until 9).map { i =>
+      (i.toLong,
+        if (i % 2 == 0) s"doc $i starts here $passage and ends differently $i"
+        else s"unrelated filler text for document number $i with nothing shared")
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ss_idx").toString
+    val idx = new SubstringDedupIndex(spark, root, k = 4, window = 4)
+    (0 until 3).foreach { b =>
+      idx.addBatch(corpus.where(col("doc_id") % 3 === b), s"b$b")
+    }
+    val vBefore = idx.table.currentVersion
+    assert(!idx.addBatch(corpus.where(col("doc_id") % 3 === 0), "b0"))
+    assert(idx.table.currentVersion == vBefore)
+    val inc = idx.dups(corpus, minWords = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = Dedup.substringDups(corpus, k = 4, window = 4, minWords = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == oneShot && inc.nonEmpty)
+    // every even-doc pair shares exactly the 14-word run "starts here
+    // <9-word passage> and ends differently" (the doc-id tokens break
+    // the run at both ends), and the pairs CROSS batches
+    assert(inc.forall { case (a, b, lcs) => a % 2 == 0 && b % 2 == 0 && lcs == 14 })
+    assert(inc.exists { case (a, b, _) => a % 3 != b % 3 })
+  }
+
   test("dedup candidate volume stays sub-quadratic at 50k docs with total planted-dup recall") {
     // the r3 gap: every dedup number came from ~5k docs. DocGen plants
     // 5k exact dups, 5k near dups and a boilerplate class in a 50k
