@@ -207,6 +207,31 @@ object DocQueries extends QuerySet {
         .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
         .orderBy("q_id", "rank")
     }),
+    // STREAMING ANN indexing (StreamingAnn → AnnIndex): the same
+    // embeddings arrive as a bounded 3-micro-batch stream against
+    // centroids frozen ONCE at index construction; the probe over the
+    // accumulated assignments must equal one-shot ivfTopK — the
+    // oracle IS q_ann_ivf's oracle. Completes the
+    // one-shot/batch/streaming triangle for the embedding family.
+    "q_streaming_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val base = freshDir(s"graft_qsann_${math.abs(dir.hashCode).toString}")
+      (0 until 3).foreach { i =>
+        e.where(pmod(col("vec_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val idx = new AnnIndex(s, s"$base/idx", Similarity.pivotCentroids(e, 64))
+      val stream = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.StreamingAnn
+        .indexWriter(stream, idx, "qsann_run")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      idx.topK(e, e.where(col("vec_id") < 5), 10)
+        .select(col("q_id"), col("rank"), col("vec_id"), round(col("cos"), 6).as("cos"))
+        .orderBy("q_id", "rank")
+    }),
     // Recall certification with PLANTED near-duplicates: the first 20
     // vectors re-enter with one component scaled by 1.25f (exactly
     // representable, so the float arithmetic is engine-portable) →
@@ -333,6 +358,36 @@ object DocQueries extends QuerySet {
         idx.addBatch(aug.where(pmod(col("doc_id"), lit(3)) === i), s"qsdi_batch$i")
       }
       idx.addBatch(aug.where(pmod(col("doc_id"), lit(3)) === 2), "qsdi_batch2")
+      ordered(idx.dups(aug, minWords = 12))
+    }),
+    // STREAMING substring-dedup indexing: the same planted corpus
+    // winnowed micro-batch by micro-batch into the persistent
+    // fingerprint index; the verified output over the accumulated
+    // fingerprints must equal one-shot substringDups — the oracle IS
+    // q_substring_dups' oracle. With MinHash, line-frequency and IVF
+    // streaming writers this closes the triangle for every family.
+    "q_streaming_substring_dups" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val aug = d.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" shared passage variant "),
+            (col("doc_id") % 3).cast("string"),
+            lit(" carries twelve exactly matching words copied across documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      val base = freshDir(s"graft_qssd_${math.abs(dir.hashCode).toString}")
+      (0 until 3).foreach { i =>
+        aug.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.mode("append").parquet(s"$base/in")
+      }
+      val stream = s.readStream.schema(aug.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = graft.streaming.StreamingSubstringDedup
+        .indexWriter(stream, s"$base/idx", "qssd_run", k = 4, window = 4)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      val idx = new graft.operators.SubstringDedupIndex(s, s"$base/idx",
+        k = 4, window = 4)
       ordered(idx.dups(aug, minWords = 12))
     }),
     // C4-style cross-document line-level dedup: multiline documents
@@ -975,6 +1030,7 @@ object DocQueries extends QuerySet {
     // accumulated assignment rows are a pure per-vector function of
     // (embedding, frozen centroids), so the replay is unchanged)
     "q_ann_incremental" -> ivfOracle,
+    "q_streaming_ann" -> ivfOracle,
     "q_ann_lsh" -> {
       val (bits, tables, dim) = (8, 6, 64)
       val cb = (0 until tables).map(t =>
@@ -1140,8 +1196,10 @@ object DocQueries extends QuerySet {
     "q_substring_dups" -> substringDupsOracle,
     // incremental fingerprint index ≡ one-shot by construction
     // (candidates are a pure function of the cumulative row set) —
-    // the oracle IS q_substring_dups' oracle
+    // the oracle IS q_substring_dups' oracle; likewise the streamed
+    // micro-batch appends
     "q_substring_dups_incremental" -> substringDupsOracle,
+    "q_streaming_substring_dups" -> substringDupsOracle,
     // line-level dedup: independent unnest-with-index + doc-frequency
     // GROUP BY + ordered string_agg reassembly over the same planted
     // multiline construction
