@@ -131,6 +131,27 @@ object DocQueries extends QuerySet {
       idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === 1), "qdi_batch1")
       ordered(idx.candidatePairs())
     }),
+    // Data-file compaction (AppendIndexTable.compact — the Iceberg
+    // rewriteDataFiles analog): batches append, the accumulated
+    // small per-batch dirs are consolidated MID-STREAM, more batches
+    // append, and a replayed batch must STILL be a lineage no-op
+    // (the runId union rides the compacted manifest). Candidates over
+    // the compacted index must equal one-shot minhashLsh — the oracle
+    // IS q_minhash_lsh's oracle, same as q_dedup_incremental.
+    "q_dedup_compacted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = freshDir(s"graft_qdc_${math.abs(dir.hashCode).toString}")
+      val idx = new DedupIndex(s, root, k = 32, bands = 8, portable = true)
+      (0 until 2).foreach { i =>
+        idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === i), s"qdc_batch$i")
+      }
+      idx.table.compact()
+      idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === 2), "qdc_batch2")
+      // replay after compaction: lineage survived the rewrite
+      idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === 0), "qdc_batch0")
+      idx.table.compact()
+      ordered(idx.candidatePairs())
+    }),
     // STREAMING dedup indexing (StreamingDedup): the corpus replayed
     // as a bounded file stream in ≥3 micro-batches, each appended to
     // the persistent band index via foreachBatch with runId/batchId
@@ -914,6 +935,7 @@ object DocQueries extends QuerySet {
     // incremental index ≡ one-shot pipeline: same oracle, verbatim —
     // the strongest statement batch maintenance can make
     "q_dedup_incremental" -> minhashLshOracle,
+    "q_dedup_compacted" -> minhashLshOracle,
     "q_streaming_dedup" -> minhashLshOracle,
     // MATERIALIZED is load-bearing on cand/pr/e: DuckDB inlines plain
     // CTEs per reference, and inside WITH RECURSIVE the closure step

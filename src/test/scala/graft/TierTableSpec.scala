@@ -579,6 +579,70 @@ class TierTableSpec extends SparkSpecBase {
     assert(idx.read().count() == 1)
   }
 
+  test("AppendIndexTable.compact: one dir per bucket, row set + lineage + resume unchanged") {
+    val root = tmp()
+    val idx = new graft.tables.AppendIndexTable(spark, root, nBuckets = 2)
+    def mk(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, (i % 3).toInt, s"b${i % 5}"))
+        .toDF("doc_id", "band", "bucket")
+    assert(idx.append(mk(0, 40), "r0", "bucket"))
+    assert(idx.append(mk(40, 80), "r1", "bucket"))
+    assert(idx.append(mk(0, 1).where(lit(false)), "rE", "bucket")) // marker
+    assert(idx.append(mk(80, 120), "r2", "bucket"))
+    val key = (r: org.apache.spark.sql.Row) => r.mkString("|")
+    val before = idx.read().select("doc_id", "band", "bucket")
+      .collect().map(key).sorted
+    val vPre = idx.currentVersion
+    val dataDirsBefore = idx.resolvedEntries.count(_.dir.nonEmpty)
+    assert(dataDirsBefore > 2)
+    assert(idx.compact())
+    // row SET identical, physically ≤ nBuckets consolidated dirs
+    assert(idx.read().select("doc_id", "band", "bucket")
+      .collect().map(key).sorted.sameElements(before))
+    val dataDirsAfter = idx.resolvedEntries.count(_.dir.nonEmpty)
+    assert(dataDirsAfter <= 2 && dataDirsAfter < dataDirsBefore)
+    // lineage survives on the marker entry — every batch (incl. the
+    // empty one) still reads committed, so crash-resume replays stay
+    // no-ops (the one-shot-equivalence contract)
+    Seq("r0", "r1", "rE", "r2").foreach(r => assert(idx.committed(r), r))
+    val vPost = idx.currentVersion
+    assert(!idx.append(mk(40, 80), "r1", "bucket"))
+    assert(idx.currentVersion == vPost)
+    // second compact of a single consolidated generation is a no-op
+    assert(!idx.compact())
+    // time travel to the pre-compact snapshot is intact
+    assert(idx.readAt(vPre).count() == before.length)
+    // append after compact, compact again: lineage keeps accumulating
+    assert(idx.append(mk(120, 160), "r3", "bucket"))
+    assert(idx.compact())
+    Seq("r0", "r1", "rE", "r2", "r3").foreach(r => assert(idx.committed(r), r))
+    // expiry anchored on the compact FULL manifest + vacuum reclaim
+    // the superseded per-batch dirs; the live read is unaffected
+    val (expired, deleted) = idx.expireSnapshots(keepLast = 1)
+    assert(expired > 0 && deleted > 0)
+    assert(idx.read().count() == before.length + 40)
+  }
+
+  test("compact leaves every query-time derivation bit-identical (DedupIndex pairs)") {
+    val root = tmp()
+    val docs = (0L until 60L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i"
+      // planted duplicates so candidatePairs is non-trivial
+      (i, if (i % 7 == 0) "alpha beta gamma delta epsilon zeta eta theta iota kappa shared"
+          else base)
+    }.toDF("doc_id", "text")
+    val idx = new DedupIndex(spark, root, k = 16, bands = 4, portable = true)
+    (0 until 3).foreach { b =>
+      idx.addBatch(docs.where(pmod(col("doc_id"), lit(3)) === b), s"cb$b")
+    }
+    val key = (r: org.apache.spark.sql.Row) => r.mkString("|")
+    val before = idx.candidatePairs().collect().map(key).sorted
+    assert(before.nonEmpty)
+    assert(idx.table.compact())
+    val after = idx.candidatePairs().collect().map(key).sorted
+    assert(after.sameElements(before))
+  }
+
   test("time-pruned read scans only in-range day partitions") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
