@@ -183,6 +183,14 @@ object PlanDump {
           idx.addBatch(e2.where(col("vec_id") % 2 === 0), "pa_b0")
           idx.addBatch(e2.where(col("vec_id") % 2 === 1), "pa_b1")
           idx.topK(e2, e2.where(col("vec_id") < 3), 5, nProbe = 2)
+        }),
+      ("end-to-end curation: ONE LINEAR PLAN, raw text crosses three exchanges",
+        "redaction, every quality flag AND the decontamination counts (bench grams as a codegen reference set — gram_hits) are projection work; text moves only on the line-hash agg (hashes), doc_id (reassembly) and sha256(clean) (exact-dedup window); no subtree is evaluated twice — the broadcast-join contamination + join-back alternative plans a full duplicate of the cleaning pipeline because per-consumer column pruning defeats ReuseExchange",
+        {
+          import spark.implicits._
+          Curation.curate(Tables.documents(spark, sf),
+            Seq("benchmark passage example words here").toDF("text"),
+            blocklist = Seq("spam.example.com"))
         }))
 
     val body = sections.map { case (title, note, df) =>

@@ -457,21 +457,32 @@ object TextAnalysis {
   def c4Filter(docs: DataFrame, textCol: String = "text",
       minLineWords: Int = 3, minSentences: Int = 5): DataFrame = {
     val lines = split(col(textCol), "\n")
-    val kept = filter(lines, ln =>
-      trim(ln).rlike("[.!?\"]$") &&
-        size(split(trim(ln), "\\s+")) >= minLineWords &&
-        !lower(ln).contains("javascript"))
+    val kept = c4KeptLines(col(textCol), minLineWords)
     val clean = array_join(kept, "\n")
     val nSent = length(regexp_replace(clean, "[^.!?]", ""))
     docs.select(col("doc_id"),
       size(kept).as("n_lines_kept"),
       (size(lines) - size(kept)).as("n_lines_dropped"),
       nSent.as("n_sentences"),
-      (nSent >= minSentences &&
-        !lower(clean).contains("lorem ipsum") &&
-        !clean.contains("{")).cast("int").as("keep"),
+      c4DocKeep(clean, minSentences).as("keep"),
       clean.as("clean_text"))
   }
+
+  /** [[c4Filter]]'s line rule as a bare expression (array of surviving
+    * lines) — shared with [[Curation.curate]] so the pipeline and the
+    * standalone filter can never drift. */
+  private[graft] def c4KeptLines(text: Column, minLineWords: Int): Column =
+    filter(split(text, "\n"), ln =>
+      trim(ln).rlike("[.!?\"]$") &&
+        size(split(trim(ln), "\\s+")) >= minLineWords &&
+        !lower(ln).contains("javascript"))
+
+  /** [[c4Filter]]'s document rule over the CLEANED text, as a bare
+    * 0/1-int expression. */
+  private[graft] def c4DocKeep(clean: Column, minSentences: Int): Column =
+    (length(regexp_replace(clean, "[^.!?]", "")) >= minSentences &&
+      !lower(clean).contains("lorem ipsum") &&
+      !clean.contains("{")).cast("int")
 
   // ---- Gopher rule filter ------------------------------------------------
 
@@ -500,39 +511,47 @@ object TextAnalysis {
     * WholeStageCodegen Scan→Project pass at any corpus size. Flags,
     * not drops, same audit discipline as [[c4Filter]]. */
   def gopherFilter(docs: DataFrame, textCol: String = "text",
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val text = col(textCol)
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    docs.select(col("doc_id") +:
+        gopherStats(col(textCol)).map { case (n, e) => e.as(n) }: _*)
+      .withColumn("keep", gopherRule(col, minWords, maxWords))
+
+  /** [[gopherFilter]]'s eight document statistics as named bare
+    * expressions — shared with [[Curation.curate]]. */
+  private[graft] def gopherStats(text: Column): Seq[(String, Column)] = {
     val toks = filter(split(text, "\\s+"), t => length(t) > 0)
-    val nWords = size(toks)
-    // mean-word-length numerator: total non-whitespace chars
-    val nWordChars = length(regexp_replace(text, "\\s+", ""))
-    // '#' chars plus non-overlapping ASCII "..." runs (exact multiple
-    // of 3 by construction, so the int cast is exact in any engine)
-    val nSymbols = length(regexp_replace(text, "[^#]", "")) +
-      ((length(text) - length(replace(text, lit("...")))) / 3).cast("int")
     val lines = split(text, "\n")
-    val nLines = size(lines)
-    val nBullet = size(filter(lines, ln => ln.rlike("^\\s*[-*] ")))
-    val nEllipsis = size(filter(lines, ln => ln.rlike("\\.\\.\\.\\s*$")))
-    val nAlphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
     val lowToks = transform(toks, t => lower(t))
-    val nStops = gopherStops.map(w =>
-      array_contains(lowToks, w).cast("int")).reduce(_ + _)
-    docs.select(col("doc_id"),
-        nWords.as("n_words"), nWordChars.as("n_word_chars"),
-        nSymbols.as("n_symbols"), nLines.as("n_lines"),
-        nBullet.as("n_bullet_lines"), nEllipsis.as("n_ellipsis_lines"),
-        nAlphaWords.as("n_alpha_words"), nStops.as("n_req_stops"))
-      .withColumn("keep",
-        (col("n_words").between(minWords, maxWords) &&
-          col("n_word_chars") >= lit(3) * col("n_words") &&
-          col("n_word_chars") <= lit(10) * col("n_words") &&
-          col("n_symbols") * 10 < col("n_words") &&
-          col("n_bullet_lines") * 10 < col("n_lines") * 9 &&
-          col("n_ellipsis_lines") * 10 < col("n_lines") * 3 &&
-          col("n_alpha_words") * 10 >= col("n_words") * 8 &&
-          col("n_req_stops") >= 2).cast("int"))
+    Seq(
+      "n_words" -> size(toks),
+      // mean-word-length numerator: total non-whitespace chars
+      "n_word_chars" -> length(regexp_replace(text, "\\s+", "")),
+      // '#' chars plus non-overlapping ASCII "..." runs (exact multiple
+      // of 3 by construction, so the int cast is exact in any engine)
+      "n_symbols" -> (length(regexp_replace(text, "[^#]", "")) +
+        ((length(text) - length(replace(text, lit("...")))) / 3).cast("int")),
+      "n_lines" -> size(lines),
+      "n_bullet_lines" -> size(filter(lines, ln => ln.rlike("^\\s*[-*] "))),
+      "n_ellipsis_lines" -> size(filter(lines, ln => ln.rlike("\\.\\.\\.\\s*$"))),
+      "n_alpha_words" -> size(filter(toks, t => t.rlike("[A-Za-z]"))),
+      "n_req_stops" -> gopherStops.map(w =>
+        array_contains(lowToks, w).cast("int")).reduce(_ + _))
   }
+
+  /** [[gopherFilter]]'s composite keep rule over the eight statistics,
+    * written ONCE against a name→column lookup so the standalone filter
+    * (column refs) and the pipeline (prefixed staged columns) apply the
+    * identical integer arithmetic. */
+  private[graft] def gopherRule(c: String => Column,
+      minWords: Int, maxWords: Int): Column =
+    (c("n_words").between(minWords, maxWords) &&
+      c("n_word_chars") >= lit(3) * c("n_words") &&
+      c("n_word_chars") <= lit(10) * c("n_words") &&
+      c("n_symbols") * 10 < c("n_words") &&
+      c("n_bullet_lines") * 10 < c("n_lines") * 9 &&
+      c("n_ellipsis_lines") * 10 < c("n_lines") * 3 &&
+      c("n_alpha_words") * 10 >= c("n_words") * 8 &&
+      c("n_req_stops") >= 2).cast("int")
 
   // ---- URL / domain filtering ---------------------------------------------
 
@@ -552,18 +571,29 @@ object TextAnalysis {
     * broadcast semi-join on the exploded hosts instead). */
   def urlFilter(docs: DataFrame, textCol: String = "text",
       blocklist: Seq[String] = Nil): DataFrame = {
-    val urls = regexp_extract_all(col(textCol),
-      lit("(?i)https?://[a-z0-9.-]+"), lit(0))
-    val hosts = array_distinct(transform(urls,
-      u => lower(regexp_replace(u, "(?i)^https?://", ""))))
-    val blocked = (h: Column) => blocklist.map(b =>
-      h === lit(b) || h.endsWith(lit("." + b)))
-      .foldLeft(lit(false))(_ || _)
-    val nBlocked = size(filter(hosts, blocked))
+    val urls = regexp_extract_all(col(textCol), lit(urlPattern), lit(0))
+    val hosts = urlHostsOf(urls)
+    val nBlocked = blockedCount(hosts, blocklist)
     docs.select(col("doc_id"),
       size(urls).as("n_urls"),
       array_join(array_sort(hosts), ",").as("domains"),
       nBlocked.as("n_blocked"),
       (nBlocked === 0).cast("int").as("keep"))
+  }
+
+  /** [[urlFilter]]'s building blocks as bare expressions — shared with
+    * [[Curation.curate]]. */
+  private[graft] val urlPattern = "(?i)https?://[a-z0-9.-]+"
+
+  private[graft] def urlHostsOf(urls: Column): Column =
+    array_distinct(transform(urls,
+      u => lower(regexp_replace(u, "(?i)^https?://", ""))))
+
+  private[graft] def blockedCount(hosts: Column,
+      blocklist: Seq[String]): Column = {
+    val blocked = (h: Column) => blocklist.map(b =>
+      h === lit(b) || h.endsWith(lit("." + b)))
+      .foldLeft(lit(false))(_ || _)
+    size(filter(hosts, blocked))
   }
 }

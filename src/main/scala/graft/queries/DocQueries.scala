@@ -556,6 +556,66 @@ object DocQueries extends QuerySet {
       ordered(TextAnalysis.urlFilter(d,
         blocklist = Seq("spam.example.com", "tracker.net")))
     }),
+    // END-TO-END curation capstone (Curation.curate): the composed
+    // training-data recipe — PII redact → cross-doc line dedup →
+    // URL/C4/Gopher flags → exact dedup (one window) → benchmark
+    // decontamination — certified as ONE audit table: per-doc stage
+    // flags (NULL = stage never reached), gram counts AND the final
+    // cleaned text, byte-for-byte. The planted corpus exercises every
+    // stage both ways. Exact-dup pairs are keyed by a pair-canonical
+    // pid (docs d ≡ 1 mod 100 pair with d+100, every planted token
+    // keyed on pid) so the pair's lines have document frequency
+    // exactly 2 and SURVIVE the boilerplate cap — without that, line
+    // dedup would shred the duplicate groups before the dedup stage
+    // could see them (the stages genuinely interact; that interaction
+    // is what this row certifies).
+    "q_curate" -> ((s, dir) => {
+      import s.implicits._
+      val aug = Tables.documents(s, dir)
+        .withColumn("pid", expr("CASE WHEN doc_id % 100 = 1 THEN " +
+          "((doc_id - 1) div 200) * 200 + 1 ELSE doc_id END"))
+        .select(col("doc_id"), concat_ws("\n",
+          concat(lit("header variant "), (col("pid") % 5).cast("string")),
+          when(col("doc_id") % 100 === 1,
+            concat(lit("duplicate body copy "), col("pid").cast("string"),
+              lit(" "),
+              expr("repeat('the quick brown fox jumps over a lazy dog " +
+                "again and again ', 5)"),
+              lit("ends now.")))
+            .otherwise(concat(col("text"),
+              when(col("pid") % 7 === 0, concat(lit(" contact user"),
+                col("pid").cast("string"), lit("@example.com now")))
+                .otherwise(lit("")),
+              when(col("pid") % 11 === 0,
+                lit(" call 555-123-4567 or 555.987.6543")).otherwise(lit("")),
+              lit(" tail."))),
+          when(col("pid") % 2 === 0 || col("doc_id") % 100 === 1,
+            concat(lit("The results do have to be consistent with that " +
+              "and of course. One two three. Four five six. Seven eight " +
+              "nine. Item "), col("pid").cast("string"), lit(" ends now."))),
+          when(col("pid") % 5 === 0,
+            concat(lit("see https://spam.example.com/path now item "),
+              col("pid").cast("string"))),
+          when(col("pid") % 4 === 0,
+            concat(lit("docs at http://docs.example.org/guide item "),
+              col("pid").cast("string"))),
+          when(col("pid") % 6 === 0,
+            concat(lit("benchmark question alpha squared equals four " +
+              "exactly says the canonical answer key item "),
+              col("pid").cast("string"), lit("."))),
+          when(col("pid") % 2 === 0, lit("subscribe to our newsletter")),
+          when(col("pid") % 31 === 0,
+            concat(lit("Lorem ipsum dolor sit amet item "),
+              col("pid").cast("string"), lit("."))),
+          when(col("pid") % 41 === 0,
+            concat(lit("Config sample { braces } item "),
+              col("pid").cast("string"), lit(".")))
+        ).as("text"))
+      val bench = Seq("benchmark question alpha squared equals four " +
+        "exactly says the canonical answer key item").toDF("text")
+      ordered(Curation.curate(aug, bench,
+        blocklist = Seq("spam.example.com")))
+    }),
   )
 
   /** Fixed-precedence language pick over [[langScores]] — shared by
@@ -767,6 +827,158 @@ object DocQueries extends QuerySet {
       |SELECT d.doc_id, coalesce(r.text, '') AS text
       |FROM documents d LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id, text""".stripMargin
+
+  /** Composed replay of the full curation pipeline — every stage is
+    * the verbatim oracle fragment its standalone row already proves
+    * (PII redact chain from q_pii, line dedup from q_line_dedup, C4
+    * line/doc rules from q_c4_filter, Gopher integers from
+    * q_gopher_filter, URL rules from q_url_filter, shingle overlap
+    * from q_decontaminate), chained through CTEs in the engine's
+    * stage order. Exact dedup replays the window as MIN(doc_id) over
+    * the clean text itself (the engine partitions by sha256(clean) —
+    * identical groups under the standard content-hash assumption). */
+  private lazy val curateOracle: String = {
+    val redacted = graft.operators.TextAnalysis.piiClasses.foldLeft("text") {
+      case (e, (_, pat, tok)) => s"regexp_replace($e, '$pat', '$tok', 'g')"
+    }
+    val benchText = "benchmark question alpha squared equals four " +
+      "exactly says the canonical answer key item"
+    s"""WITH pidt AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 100 = 1
+       |              THEN ((doc_id - 1) // 200) * 200 + 1
+       |              ELSE doc_id END AS pid,
+       |         text
+       |  FROM documents),
+       |aug AS (
+       |  SELECT doc_id, concat_ws(chr(10),
+       |    'header variant ' || CAST(pid % 5 AS VARCHAR),
+       |    CASE WHEN doc_id % 100 = 1
+       |         THEN 'duplicate body copy ' || CAST(pid AS VARCHAR) || ' ' ||
+       |              repeat('the quick brown fox jumps over a lazy dog again and again ', 5) || 'ends now.'
+       |         ELSE text ||
+       |           CASE WHEN pid % 7 = 0 THEN ' contact user' || CAST(pid AS VARCHAR) || '@example.com now' ELSE '' END ||
+       |           CASE WHEN pid % 11 = 0 THEN ' call 555-123-4567 or 555.987.6543' ELSE '' END ||
+       |           ' tail.' END,
+       |    CASE WHEN pid % 2 = 0 OR doc_id % 100 = 1
+       |         THEN 'The results do have to be consistent with that and of course. One two three. Four five six. Seven eight nine. Item ' || CAST(pid AS VARCHAR) || ' ends now.' END,
+       |    CASE WHEN pid % 5 = 0 THEN 'see https://spam.example.com/path now item ' || CAST(pid AS VARCHAR) END,
+       |    CASE WHEN pid % 4 = 0 THEN 'docs at http://docs.example.org/guide item ' || CAST(pid AS VARCHAR) END,
+       |    CASE WHEN pid % 6 = 0 THEN '$benchText ' || CAST(pid AS VARCHAR) || '.' END,
+       |    CASE WHEN pid % 2 = 0 THEN 'subscribe to our newsletter' END,
+       |    CASE WHEN pid % 31 = 0 THEN 'Lorem ipsum dolor sit amet item ' || CAST(pid AS VARCHAR) || '.' END,
+       |    CASE WHEN pid % 41 = 0 THEN 'Config sample { braces } item ' || CAST(pid AS VARCHAR) || '.' END) AS text
+       |  FROM pidt),
+       |red AS (SELECT doc_id, $redacted AS text FROM aug),
+       |lx0 AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM red),
+       |lines AS (
+       |  SELECT doc_id,
+       |         unnest([{'idx': i, 'ln': ls[i+1]} for i in range(0, len(ls))],
+       |                recursive := true)
+       |  FROM lx0),
+       |freq AS (SELECT ln, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
+       |kept0 AS (
+       |  SELECT l.doc_id, l.idx, l.ln
+       |  FROM lines l JOIN freq f USING (ln) WHERE f.df <= 2),
+       |reb AS (
+       |  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS text
+       |  FROM kept0 GROUP BY doc_id),
+       |lined AS (
+       |  SELECT d.doc_id, coalesce(r.text, '') AS text
+       |  FROM documents d LEFT JOIN reb r USING (doc_id)),
+       |fl AS (
+       |  SELECT doc_id, text,
+       |    coalesce(array_to_string(list_filter(str_split(text, chr(10)), ln ->
+       |      regexp_matches(trim(ln), '[.!?"]$$')
+       |      AND len(regexp_split_to_array(trim(ln), '\\s+')) >= 3
+       |      AND NOT contains(lower(ln), 'javascript')), chr(10)), '') AS clean
+       |  FROM lined),
+       |flags AS (
+       |  SELECT doc_id, clean,
+       |    CAST((len(list_filter(list_distinct(list_transform(
+       |        regexp_extract_all(text, '(?i)https?://[a-z0-9.-]+'),
+       |        x -> lower(regexp_replace(x, '(?i)^https?://', '')))),
+       |      h -> h = 'spam.example.com'
+       |           OR h LIKE '%.spam.example.com')) = 0) AS INT) AS url_keep,
+       |    CAST((length(regexp_replace(clean, '[^.!?]', '', 'g')) >= 5
+       |          AND NOT contains(lower(clean), 'lorem ipsum')
+       |          AND NOT contains(clean, '{')) AS INT) AS c4_keep
+       |  FROM fl),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS INT) AS n_words,
+       |    CAST(length(regexp_replace(clean, '\\s+', '', 'g')) AS INT) AS n_word_chars,
+       |    CAST(length(regexp_replace(clean, '[^#]', '', 'g'))
+       |         + (length(clean) - length(replace(clean, '...', ''))) // 3 AS INT) AS n_symbols,
+       |    CAST(len(ls) AS INT) AS n_lines,
+       |    CAST(len(list_filter(ls, ln -> regexp_matches(ln, '^\\s*[-*] '))) AS INT) AS n_bullet_lines,
+       |    CAST(len(list_filter(ls, ln -> regexp_matches(ln, '\\.\\.\\.\\s*$$'))) AS INT) AS n_ellipsis_lines,
+       |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS INT) AS n_alpha_words,
+       |    CAST((CASE WHEN list_contains(lt, 'the') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'be') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'to') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'of') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'and') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'that') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'have') THEN 1 ELSE 0 END
+       |        + CASE WHEN list_contains(lt, 'with') THEN 1 ELSE 0 END) AS INT) AS n_req_stops
+       |  FROM (SELECT doc_id, clean,
+       |          list_filter(regexp_split_to_array(clean, '\\s+'), w -> len(w) > 0) AS toks,
+       |          list_transform(list_filter(regexp_split_to_array(clean, '\\s+'), w -> len(w) > 0), w -> lower(w)) AS lt,
+       |          str_split(clean, chr(10)) AS ls
+       |        FROM fl)),
+       |fk AS (
+       |  SELECT f.doc_id, f.clean, f.url_keep, f.c4_keep,
+       |    CAST((g.n_words BETWEEN 50 AND 100000
+       |          AND g.n_word_chars >= 3 * g.n_words
+       |          AND g.n_word_chars <= 10 * g.n_words
+       |          AND g.n_symbols * 10 < g.n_words
+       |          AND g.n_bullet_lines * 10 < g.n_lines * 9
+       |          AND g.n_ellipsis_lines * 10 < g.n_lines * 3
+       |          AND g.n_alpha_words * 10 >= g.n_words * 8
+       |          AND g.n_req_stops >= 2) AS INT) AS gopher_keep
+       |  FROM flags f JOIN g USING (doc_id)),
+       |ded AS (
+       |  SELECT *,
+       |    CASE WHEN url_keep = 1 AND c4_keep = 1 AND gopher_keep = 1 THEN
+       |      CAST(doc_id = MIN(CASE WHEN url_keep = 1 AND c4_keep = 1
+       |                             AND gopher_keep = 1 THEN doc_id END)
+       |                    OVER (PARTITION BY clean) AS INT)
+       |    END AS dedup_keep
+       |  FROM fk),
+       |cand AS (SELECT doc_id, clean FROM ded WHERE dedup_keep = 1),
+       |csh AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 5 THEN list_distinct(
+       |    [array_to_string(toks[i+1:i+5], ' ')
+       |     for i in range(0, greatest(len(toks)-5, 0)+1)])
+       |    ELSE [] END AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(clean), '\\s+') AS toks
+       |        FROM cand)),
+       |bgr AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest([array_to_string(toks[i+1:i+5], ' ')
+       |                   for i in range(0, greatest(len(toks)-5, 0)+1)]) AS gram
+       |    FROM (SELECT regexp_split_to_array(lower('$benchText'), '\\s+') AS toks))),
+       |hits AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+       |  FROM (SELECT doc_id, gram FROM csh, unnest(s) u(gram)) dg
+       |  JOIN bgr USING (gram) GROUP BY doc_id),
+       |contam AS (
+       |  SELECT csh.doc_id, CAST(len(s) AS BIGINT) AS n_grams,
+       |         CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams
+       |  FROM csh LEFT JOIN hits USING (doc_id))
+       |SELECT d.doc_id, d.url_keep, d.c4_keep, d.gopher_keep, d.dedup_keep,
+       |       c.n_grams, c.hit_grams,
+       |       CASE WHEN c.n_grams IS NOT NULL
+       |            THEN CAST(c.hit_grams * 1000 <= c.n_grams * 50 AS INT)
+       |       END AS contam_keep,
+       |       CAST(CASE WHEN c.n_grams IS NOT NULL
+       |                 AND c.hit_grams * 1000 <= c.n_grams * 50
+       |                 THEN 1 ELSE 0 END AS INT) AS keep,
+       |       d.clean AS text
+       |FROM ded d LEFT JOIN contam c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val minhashLshOracle: String =
     s"""WITH ${shCte(3)},
@@ -1366,5 +1578,7 @@ object DocQueries extends QuerySet {
         |       CAST(n_blocked = 0 AS INT) AS keep
         |FROM b
         |ORDER BY doc_id, n_urls, domains, n_blocked, keep""".stripMargin,
+    // end-to-end curation pipeline: the composed stage-fragment replay
+    "q_curate" -> curateOracle,
   )
 }
