@@ -167,6 +167,18 @@ object PipelineBench {
     if (only("linededup")) timedWrite("line_dedup",
       Dedup.lineDedup(docs, maxDocFreq = 2))
 
+    // ---- end-to-end curation (the composed capstone) -------------------
+    // all five stages as ONE linear plan: redact → line dedup → URL/C4/
+    // Gopher flags → exact-dedup window → scan-local decontamination
+    // (fixed 1000-doc eval set, the contam_fixed deployment shape).
+    // The row exists to prove composition adds no exchange and no
+    // re-read: wall ≈ line_dedup + the flag projections riding its
+    // scans, NOT the sum of five separate corpus passes.
+    if (only("curate")) timedWrite("curate",
+      graft.operators.Curation.curate(docs,
+        docs.where(col("doc_id") < 1000).select("doc_id", "text"),
+        blocklist = Seq("spam.example.com")))
+
     // ---- k-means quantizer build (the learned-centroid path) -----------
     if (only("kmeans")) {
       val t0 = System.nanoTime()
