@@ -109,6 +109,65 @@ object TextAnalysis {
     docs.where(keep)
   }
 
+  /** Token-budget corpus mixing: realize target source proportions as
+    * deterministic per-source sampling rates — the "data mixing" step
+    * every pretraining corpus runs (The Pile, Gao et al. 2020 §1;
+    * Dolma, Soldaini et al. 2024 §4: sources are weighted, then
+    * down-sampled to hit the weighted token budget).
+    *
+    * Given integer `weights` per source (parts of their sum W) and a
+    * total token `budget` T, each source's target is wₛ·T/W tokens;
+    * with Aₛ tokens available its keep-rate is min(1, wₛ·T/(W·Aₛ)),
+    * quantized DOWN to sixteenths and decided per document by the
+    * [[stratifiedSample]] md5-nibble class — so the sample is exact,
+    * engine-independent, and stable under retries, appends and
+    * partitioning. All arithmetic is integer (16·wₛ·T must fit a
+    * long: fine through w ≤ 10³, T ≤ 10¹⁴ — a 100-trillion-token
+    * budget); unmapped sources get rate 0.
+    *
+    * Output: one AUDIT row per document (doc_id, source, n_tokens,
+    * avail_tokens, rate16, keep) — the mix report is one groupBy away
+    * and the mixed corpus is `where(keep = 1)`, the [[c4Filter]]
+    * flags-not-drops discipline.
+    *
+    * 100 TB shape: ONE partial-agg exchange builds the per-source
+    * token totals (output rows = |sources|, bounded small); the
+    * rate table joins back by source under AQE (broadcast at any
+    * real cardinality); the keep decision is a scan-local md5 class.
+    * No driver collect, no global sort, no second corpus pass. */
+  def tokenBudgetMix(docs: DataFrame, weights: Map[String, Int],
+      budget: Long, tokens: Column): DataFrame = {
+    require(weights.nonEmpty, "need at least one source weight")
+    require(weights.values.forall(_ >= 0), "weights are non-negative")
+    require(budget >= 0, "budget is a token count")
+    val w = weights.values.map(_.toLong).sum
+    require(w > 0, "total weight must be positive")
+    val wCol = weights.toSeq.sortBy(_._1).foldRight(lit(0L)) {
+      case ((sv, wv), els) => when(col("source") === sv, lit(wv.toLong)).otherwise(els)
+    }
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens.cast("long").as("n_tokens"))
+    val rates = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("avail_tokens"))
+      .withColumn("__w", wCol)
+      .withColumn("rate16",
+        when(col("__w") === 0 || col("avail_tokens") <= 0, lit(0))
+          .otherwise(least(lit(16L), expr(
+            s"(16L * __w * ${budget}L) div (${w}L * avail_tokens)")))
+          .cast("int"))
+      .select(col("source"), col("avail_tokens"), col("rate16"))
+    // md5 nibble value ∈ [0,16): < rate16 keeps rate16/16 of the
+    // source, deterministically per (source, doc_id) — rate16 = 16
+    // keeps everything
+    val nibVal = conv(substring(
+      md5(concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+      1, 1), 16, 10).cast("int")
+    toks.join(rates, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("avail_tokens"), col("rate16"),
+        (nibVal < col("rate16")).cast("int").as("keep"))
+  }
+
   // ---- sequence packing ------------------------------------------------
 
   /** Greedy sequential sequence packing: assign documents to
@@ -154,6 +213,44 @@ object TextAnalysis {
         }
       }
       .toDF("shard", idCol, "n_tokens", "bin_seq")
+  }
+
+  /** Deterministic corpus shuffle + shard assignment: the
+    * training-shard writer's layout step — every document lands in
+    * exactly one of `nShards` shards, pseudo-randomly by a seeded md5
+    * class, and gets a pseudo-random position within its shard — so
+    * shard files can be written out as globally-shuffled training
+    * input without any global sort.
+    *
+    * shard = ⌊v·nShards/2¹⁶⌋ where v is the first 16 bits of
+    * md5(seed:id) — unbiased for the required power-of-two `nShards`
+    * (each shard owns exactly 2¹⁶/nShards of the key space); position
+    * = rank of the full md5 key within the shard (ties impossible up
+    * to md5 collision; id tie-breaks anyway). Deterministic per
+    * (seed, id): stable under retries, partitioning and append order,
+    * and a different `seed` is a fresh independent shuffle (epoch
+    * reshuffling).
+    *
+    * 100 TB shape: the window carries ONLY (id, 32-byte key) — text
+    * never moves; one exchange on shard, shard-local sort of
+    * corpus/nShards metadata rows (nShards is the caller's
+    * shard-size dial), join payloads back by id at write time (the
+    * [[packSequences]] ~48 bytes/doc discipline). Output:
+    * (idCol, shard, pos). */
+  def shardCorpus(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(nShards > 0 && nShards <= 65536 && (nShards & (nShards - 1)) == 0,
+      "nShards must be a power of two in [1, 65536] (unbiased 16-bit bucketing)")
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    val val4 = conv(substring(col("__key"), 1, 4), 16, 10).cast("long")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    docs.select(col(idCol), key.as("__key"))
+      .withColumn("__v", val4)
+      // div, not / — Spark `/` on longs is IEEE double division
+      .withColumn("shard", expr(s"cast((__v * $nShards) div 65536 as int)"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
   }
 
   // ---- PII detection / redaction ---------------------------------------

@@ -46,6 +46,26 @@ object DocQueries extends QuerySet {
       ordered(TextAnalysis.stratifiedSample(
         langPred(Tables.documents(s, dir)), col("lang_pred"), col("doc_id"),
         Map("en" -> 4, "es" -> 8, "fr" -> 12, "de" -> 2)))),
+    // deterministic corpus shuffle + shard assignment (the training-
+    // shard layout step): 8 shards, seeded md5-class — the oracle
+    // replays the 16-bit bucketing and the within-shard rank verbatim
+    "q_shard_corpus" -> ((s, dir) =>
+      ordered(TextAnalysis.shardCorpus(
+        Tables.documents(s, dir), "doc_id", nShards = 8, seed = "ep0"))),
+    // token-budget corpus mixing: per-source rates derived from target
+    // weights + a token budget (total/4, derived identically in the
+    // oracle), decided per doc by the md5-nibble class. Weights mix
+    // capped (binding) and fractional sources plus unmapped → rate 0;
+    // the oracle replays the WHOLE derivation — totals, integer rate
+    // quantization, nibble decision — not just the kept set
+    "q_token_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val total = d.select(
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))).head().getLong(0)
+      ordered(TextAnalysis.tokenBudgetMix(d,
+        Map("src0" -> 1, "src1" -> 3, "src3" -> 2, "src5" -> 4, "src9" -> 1),
+        total / 4, TextAnalysis.tokenCount(col("text"))))
+    }),
     // greedy sequence packing into 512-token context windows, 16
     // md5-nibble shards: per-shard sequential bin assignment (the
     // pretraining batch-shaping step). The oracle replays the greedy
@@ -1055,6 +1075,45 @@ object DocQueries extends QuerySet {
     // q_langid's CASE chain + the md5-nibble class decision replayed
     // per stratum (en 4/16 '4', es 8/16 '8', fr 12/16 'c', de 2/16
     // '2'; other strata kept in full)
+    "q_shard_corpus" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, key,
+        |         CAST((CAST('0x' || substr(key, 1, 4) AS BIGINT) * 8) // 65536
+        |              AS INT) AS shard
+        |  FROM k)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |            - 1 AS BIGINT) AS pos
+        |FROM v
+        |ORDER BY doc_id, shard, pos""".stripMargin,
+    "q_token_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |              - CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |a AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+        |      FROM t GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 4 AS budget FROM t),
+        |r AS (
+        |  SELECT source, avail_tokens,
+        |    CAST(CASE WHEN w = 0 OR avail_tokens <= 0 THEN 0
+        |         ELSE least(16, (16 * w * budget) // (11 * avail_tokens))
+        |         END AS INT) AS rate16
+        |  FROM (SELECT source, avail_tokens,
+        |          CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 3
+        |               WHEN 'src3' THEN 2 WHEN 'src5' THEN 4
+        |               WHEN 'src9' THEN 1 ELSE 0 END AS w
+        |        FROM a), tot)
+        |SELECT t.doc_id, t.source, t.n_tokens, r.avail_tokens, r.rate16,
+        |       CAST((strpos('0123456789abcdef',
+        |             substr(md5(t.source || ':' || CAST(t.doc_id AS VARCHAR)), 1, 1)) - 1)
+        |            < r.rate16 AS INT) AS keep
+        |FROM t JOIN r USING (source)
+        |ORDER BY doc_id, source, n_tokens, avail_tokens, rate16, keep""".stripMargin,
     "q_stratified_sample" ->
       """WITH t AS (
         |  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents

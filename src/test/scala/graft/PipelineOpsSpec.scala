@@ -702,6 +702,72 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("tokenBudgetMix: integer rates from weights + budget, cap at 16, unmapped dropped") {
+    // 3 sources × 400 docs × 10 tokens each → 4000 tokens available per source
+    val docs = (0 until 1200).map(i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3), "w " * 9 + "w")).toDF("doc_id", "source", "text")
+    val toks = TextAnalysis.tokenCount(col("text"))
+    // weights a:1 b:3 (W=4), budget 8000: target a = 2000 of 4000 →
+    // rate16 = floor(16·1·8000/(4·4000)) = 8; b = 6000 of 4000 → capped 16;
+    // c unmapped → 0
+    val got = TextAnalysis.tokenBudgetMix(docs, Map("a" -> 1, "b" -> 3), 8000L, toks)
+    val rates = got.select("source", "rate16").distinct()
+      .as[(String, Int)].collect().toMap
+    assert(rates == Map("a" -> 8, "b" -> 16, "c" -> 0))
+    val kept = got.where(col("keep") === 1).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("c", 0L) == 0L)      // rate 0 keeps nothing
+    assert(kept("b") == 400L)                  // rate 16 keeps everything
+    assert(math.abs(kept("a") - 200L) < 60, s"a=${kept("a")}") // ≈ 8/16 of 400
+    // decision is the md5-nibble class per (source, doc_id) — partition-invariant
+    val k1 = got.where(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    val k2 = TextAnalysis.tokenBudgetMix(docs.repartition(7), Map("a" -> 1, "b" -> 3),
+        8000L, toks)
+      .where(col("keep") === 1).select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2)
+    // zero-token source never divides by zero, rates stay defined
+    val withEmpty = docs.union(Seq((9999L, "d", "")).toDF("doc_id", "source", "text"))
+    val r2 = TextAnalysis.tokenBudgetMix(withEmpty,
+        Map("a" -> 1, "b" -> 3, "d" -> 5), 8000L, toks)
+      .select("source", "rate16").distinct().as[(String, Int)].collect().toMap
+    assert(r2("d") == 0)
+  }
+
+  test("shardCorpus: unbiased power-of-two bucketing, dense shard-local positions, seeded") {
+    val docs = (0L until 4096L).toDF("doc_id")
+    val got = TextAnalysis.shardCorpus(docs, "doc_id", nShards = 4, seed = "s1")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.size == 4096 && got.map(_._1).toSet.size == 4096) // a permutation
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0 until 4).toSet))
+    // positions are a dense 0..n-1 enumeration per shard
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size).toList, s"shard $sh")
+      // md5 is uniform: 1024 ± noise per shard
+      assert(math.abs(rows.size - 1024) < 200, s"shard $sh size ${rows.size}")
+    }
+    // shard and pos replay the md5 definition per id
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got.take(64).foreach { case (id, sh, _) =>
+      val v = java.lang.Long.parseLong(md5hex(s"s1:$id").take(4), 16)
+      assert(sh == (v * 4) / 65536, s"id $id")
+    }
+    val expectPos = byShard.view.mapValues(_.sortBy(r => (md5hex(s"s1:${r._1}"), r._1))
+      .map(_._1).zipWithIndex.toMap).toMap
+    got.foreach { case (id, sh, pos) => assert(pos == expectPos(sh)(id).toLong) }
+    // deterministic + partition-invariant; a new seed is a fresh shuffle
+    val again = TextAnalysis.shardCorpus(docs.repartition(7), "doc_id", 4, "s1")
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == got.sortBy(_._1))
+    val other = TextAnalysis.shardCorpus(docs, "doc_id", 4, "s2")
+      .as[(Long, Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(other != got.sortBy(_._1))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.shardCorpus(docs, "doc_id", nShards = 3)
+    }
+  }
+
   test("packSequences: greedy per-shard bins, oversize doc isolated, shards independent") {
     // token counts by id: 300, 300, 600, 100, 200, 50 at budget 512
     val docs = Seq((1L, 300L), (2L, 300L), (3L, 600L), (4L, 100L),
