@@ -253,6 +253,84 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  // ---- LM quality scoring (perplexity filtering) -----------------------
+
+  /** Unigram-LM cross-entropy scoring — the CCNet-style "perplexity
+    * filtering" step (Wenzek et al. 2020 §3.3: score every crawl
+    * document under a language model trained on a trusted target
+    * domain, then keep/bucket by perplexity). The LM here is an
+    * add-one-smoothed unigram model over whitespace tokens, which
+    * keeps every probability an exact rational of corpus counts:
+    * p(w) = (c_w + 1) / (T + V + 1), with one shared OOV mass
+    * 1 / (T + V + 1) (T = reference token count, V = reference
+    * vocabulary size; the +1 is the OOV bucket).
+    *
+    * Exactness discipline: each term's log-probability is quantized
+    * ONCE to decimal(18,4) (ln is the only libm call — round(…,4) on
+    * a per-term scalar, never on a sum), per-document sums are exact
+    * decimal arithmetic (tf × lp, order-independent), and the
+    * presentation cross-entropy −sum_lp/n is one scalar IEEE divide
+    * of byte-identical operands. Perplexity, if wanted, is
+    * exp(xent) — presentation-only, derive downstream.
+    *
+    * Output: one row per input document —
+    * (doc_id, n_tokens, oov_tokens, sum_lp decimal(18,4), xent);
+    * zero-token docs kept with (0, 0, 0.0000, 0.0). Low xent = close
+    * to the reference domain.
+    *
+    * 100 TB shape: the lexicon is ONE vocabulary-bounded aggregate
+    * over the reference (the train step); the score side condenses
+    * tokens to per-doc tf rows BEFORE the lexicon join (the
+    * [[distinctiveTerms]] discipline — partial agg collapses repeated
+    * words map-side), and the join strategy is left to AQE: broadcast
+    * when the measured lexicon is small, shuffle join when a
+    * web-scale vocabulary is not (never force-broadcast a side whose
+    * size the data controls). `totals` = (T, V) skips the one
+    * plan-time scalar job (the ANN corpusSize-hint discipline);
+    * defaults compute them. */
+  def lmScore(docs: DataFrame, reference: DataFrame,
+      textCol: String = "text",
+      totals: Option[(Long, Long)] = None): DataFrame = {
+    def toks(t: Column) =
+      filter(split(lower(trim(t)), "\\s+"), w => length(w) > 0)
+    val lexCounts = reference
+      .select(explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val (t, v) = totals.getOrElse {
+      val r = lexCounts.agg(
+        coalesce(sum(col("c")), lit(0L)), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1)) // two longs — bounded metadata
+    }
+    val denom = (t + v + 1).toDouble
+    val lex = lexCounts.select(col("term"),
+      round(log((col("c") + lit(1)).cast("double") / lit(denom)), 4)
+        .cast("decimal(18,4)").as("lp"))
+    // the OOV bucket's quantized log-probability, same rounding rule
+    // as the engine round(_, 4) (HALF_UP on the shortest repr)
+    val lpUnk = BigDecimal.decimal(math.log(1.0 / denom))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val tf = docs
+      .select(col("doc_id"), explode_outer(toks(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val isTok = col("term").isNotNull
+    tf.join(lex, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(isTok, col("tf")).otherwise(0L)).as("n_tokens"),
+        sum(when(isTok && col("lp").isNull, col("tf")).otherwise(0L))
+          .as("oov_tokens"),
+        sum(when(isTok,
+          col("tf") * coalesce(col("lp"), lit(lpUnk).cast("decimal(18,4)"))))
+          .as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        coalesce(col("__s"), lit(0).cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("sum_lp"))
+      .withColumn("xent",
+        when(col("n_tokens") > 0,
+          -col("sum_lp").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   // ---- PII detection / redaction ---------------------------------------
 
   /** PII classes as (name, regex, replacement token). The patterns are

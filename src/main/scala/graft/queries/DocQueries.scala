@@ -66,6 +66,16 @@ object DocQueries extends QuerySet {
         Map("src0" -> 1, "src1" -> 3, "src3" -> 2, "src5" -> 4, "src9" -> 1),
         total / 4, TextAnalysis.tokenCount(col("text"))))
     }),
+    // CCNet-style perplexity filtering: unigram-LM cross-entropy of
+    // every doc under an add-one-smoothed model trained on the src0
+    // slice (the "target domain"). The oracle replays the WHOLE
+    // derivation — reference counts, the round(ln,4)-quantized
+    // log-probs incl. the OOV bucket, exact decimal tf·lp sums, the
+    // scalar presentation divide
+    "q_lm_score" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      ordered(TextAnalysis.lmScore(d, d.where(col("source") === "src0")))
+    }),
     // greedy sequence packing into 512-token context windows, 16
     // md5-nibble shards: per-shard sequential bin assignment (the
     // pretraining batch-shaping step). The oracle replays the greedy
@@ -1075,6 +1085,42 @@ object DocQueries extends QuerySet {
     // q_langid's CASE chain + the md5-nibble class decision replayed
     // per stratum (en 4/16 '4', es 8/16 '8', fr 12/16 'c', de 2/16
     // '2'; other strata kept in full)
+    "q_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     w -> length(w) > 0) AS ts
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, unnest(ts) AS term FROM tok),
+        |ref AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM tk WHERE source = 'src0' GROUP BY term),
+        |den AS (SELECT CAST(SUM(c) AS BIGINT) + CAST(COUNT(*) AS BIGINT) + 1
+        |               AS denom FROM ref),
+        |lex AS (SELECT term,
+        |               CAST(round(ln((c + 1) / denom), 4) AS DECIMAL(18,4)) AS lp
+        |        FROM ref CROSS JOIN den),
+        |unk AS (SELECT CAST(round(ln(1.0 / denom), 4) AS DECIMAL(18,4)) AS unk_lp
+        |        FROM den),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY doc_id, term),
+        |s AS (SELECT tf.doc_id,
+        |             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |             CAST(coalesce(SUM(tf) FILTER (WHERE lex.lp IS NULL), 0)
+        |                  AS BIGINT) AS oov_tokens,
+        |             SUM(CAST(tf AS DECIMAL(19,0)) * coalesce(lex.lp, unk_lp))
+        |               AS sum_lp
+        |      FROM tf LEFT JOIN lex USING (term) CROSS JOIN unk
+        |      GROUP BY tf.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(s.oov_tokens, 0) AS BIGINT) AS oov_tokens,
+        |       CAST(coalesce(s.sum_lp, 0) AS DECIMAL(18,4)) AS sum_lp,
+        |       CASE WHEN coalesce(s.n_tokens, 0) > 0
+        |            THEN -CAST(CAST(s.sum_lp AS DECIMAL(18,4)) AS DOUBLE)
+        |                 / s.n_tokens
+        |            ELSE 0.0 END AS xent
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id, n_tokens, oov_tokens, sum_lp, xent""".stripMargin,
     "q_shard_corpus" ->
       """WITH k AS (
         |  SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS key

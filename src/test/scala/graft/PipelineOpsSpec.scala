@@ -733,6 +733,32 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(r2("d") == 0)
   }
 
+  test("lmScore: Laplace-smoothed quantized log-probs, OOV bucket, exact decimal sums") {
+    // reference (src0): "a a b" → c(a)=2, c(b)=1, T=3, V=2, denom=6
+    //   lp(a) = round(ln(3/6),4) = -0.6931   lp(b) = round(ln(2/6),4) = -1.0986
+    //   unk   = round(ln(1/6),4) = -1.7918
+    val docs = Seq(
+      (1L, "src0", "a a b"),
+      (2L, "web", "a b c"),        // n=3 oov=1 sum=-3.5835
+      (3L, "web", "   "),          // zero tokens
+      (4L, "web", "A  a\n a")      // case/whitespace fold → a×3
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.lmScore(docs, docs.where(col("source") === "src0"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, BigDecimal, Double)].collect().toSeq
+    def bd(s: String) = BigDecimal(s)
+    assert(got(0) == ((1L, 3L, 0L, bd("-2.4848"), (2.4848: Double) / 3)))
+    assert(got(1) == ((2L, 3L, 1L, bd("-3.5835"), (3.5835: Double) / 3)))
+    assert(got(2) == ((3L, 0L, 0L, bd("0.0000"), 0.0)))
+    assert(got(3) == ((4L, 3L, 0L, bd("-2.0793"), (2.0793: Double) / 3)))
+    // totals hint: identical output, no plan-time scalar job needed
+    val hinted = TextAnalysis.lmScore(docs.repartition(5),
+        docs.where(col("source") === "src0"), totals = Some((3L, 2L)))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, BigDecimal, Double)].collect().toSeq
+    assert(hinted == got) // and partition-invariant
+  }
+
   test("shardCorpus: unbiased power-of-two bucketing, dense shard-local positions, seeded") {
     val docs = (0L until 4096L).toDF("doc_id")
     val got = TextAnalysis.shardCorpus(docs, "doc_id", nShards = 4, seed = "s1")
