@@ -42,4 +42,31 @@ object Signals {
           unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))) / 1000.0)
           .as("v"))
   }
+
+  /** Role-transition stream — the agent-transcript analytics core:
+    * one row per consecutive turn pair within a conversation, carrying
+    * (from_role → to_role) and the inter-turn latency. The single most
+    * asked question of an agent log — "how fast does the assistant
+    * answer a user?" — is `where(from_role = 'user' AND to_role =
+    * 'assistant')`; tool-call overhead is user→tool / tool→assistant;
+    * the full transition matrix is one groupBy away. First turns have
+    * no predecessor and emit nothing.
+    *
+    * Same µs-precision latency derivation and single conv_id window
+    * as [[latencyPoints]] — over the bucketed ingest layout the lag
+    * runs with zero exchange and no sort (the reported per-bucket
+    * (conv_id, turn_idx) ordering serves the window directly), so at
+    * 10^12 turns this is a scan-speed pass. */
+  def roleTransitions(transcripts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    transcripts
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("ts"))
+      .withColumn("from_role", lag(col("role"), 1).over(w))
+      .withColumn("latency_ms",
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))) / 1000.0)
+      .where(col("from_role").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("from_role"),
+        col("role").as("to_role"), col("latency_ms"))
+  }
 }

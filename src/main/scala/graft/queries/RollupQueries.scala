@@ -121,6 +121,44 @@ object RollupQueries extends QuerySet {
       t.merge(Rollup.rollupRaw(pts.where(col("ts") >= mid), "minute"), "qtc_b2")
       ordered(Rollup.present(t.readChangesSince(v1)))
     }),
+    // Time travel (readAt — the Iceberg snapshot-read analog):
+    // merge the pre-noon slice, commit, merge the rest, then read AS
+    // OF the first version — committed files are immutable, so the
+    // historical view must equal the batch-1-only rollup byte-for-
+    // byte no matter what later commits did to the same partitions
+    // (Jan 3 was REWRITTEN by batch 2 — the old dir still serves v1).
+    "q_tier_timetravel" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qtt_${math.abs(dir.hashCode).toString}")
+      val t = new graft.tables.TierTable(s, s"$root/t1m", nBuckets = 1)
+      val mid = lit(tierChangesMid).cast(pts.schema("ts").dataType)
+      t.merge(Rollup.rollupRaw(pts.where(col("ts") < mid), "minute"), "qtt_b1")
+      val v1 = t.currentVersion
+      t.merge(Rollup.rollupRaw(pts.where(col("ts") >= mid), "minute"), "qtt_b2")
+      ordered(Rollup.present(t.readAt(v1)))
+    }),
+    // Per-partition lineage + metrics (partitionMetrics — the Iceberg
+    // metadata-table analog): after two merges whose day coverage
+    // overlaps on exactly one partition, the manifest's RECORDED
+    // row counts must equal an independent recount of the rollup, and
+    // the lineage depth must equal the number of runs that touched
+    // each day (Jan 3 straddles the noon cut → rewritten → 2 runs;
+    // every other day → 1). No data file is read on the Spark side —
+    // the metrics row certifies that commit-time metadata IS the
+    // truth, which is what makes metadata-only counts/audits safe at
+    // 100 TB. nBuckets = 1 (the q_tier_changes discipline) so the
+    // partition set is day-determined at every SF; the bucket
+    // dimension is spec-pinned at nBuckets = 4 in TierTableSpec.
+    "q_tier_metrics" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qpm_${math.abs(dir.hashCode).toString}")
+      val t = new graft.tables.TierTable(s, s"$root/t1m", nBuckets = 1)
+      val mid = lit(tierChangesMid).cast(pts.schema("ts").dataType)
+      t.merge(Rollup.rollupRaw(pts.where(col("ts") < mid), "minute"), "qpm_b1")
+      t.merge(Rollup.rollupRaw(pts.where(col("ts") >= mid), "minute"), "qpm_b2")
+      ordered(t.partitionMetrics.select(
+        col("pd"), col("n_rows"), col("n_runs")))
+    }),
     // Streaming twin of the cascade (r2 verdict next-#7): replay the
     // events table as a bounded file stream in ≥3 micro-batches
     // through StreamingRollup.cascadeWriter (foreachBatch MERGE with
@@ -189,6 +227,29 @@ object RollupQueries extends QuerySet {
           col("v").as("latency_ms"))
         .orderBy("key", "ts", "latency_ms")
     }),
+    // Agent-transcript analytics: the full role-transition matrix with
+    // exact-decimal latency stats per (from_role, to_role) — response
+    // time (user→assistant), tool-call overhead (→tool / tool→), etc.
+    // Rollup exactness discipline: decimal(18,6)-quantize each latency
+    // BEFORE the sum. The corpus-wide sums reach ~1e10 ms (unscaled
+    // > 2^53 — the zone where DuckDB's wide-decimal→double cast is not
+    // correctly rounded and no rescale can help, since 6 IS the true
+    // scale), so the sum is presented as its canonical decimal STRING
+    // (exact and identical in both engines — the md5-hex portability
+    // discipline applied to decimals); no double sum/mean/std
+    // presentation (the cancelled-1e7-magnitude class). min/max ride
+    // the per-row doubles q_latency_derive already hash-certifies.
+    "q_role_transitions" -> ((s, dir) => {
+      val tr = Signals.roleTransitions(Tables.transcripts(s, dir))
+      ordered(tr.groupBy(col("from_role"), col("to_role"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("latency_ms").cast("decimal(18,6)")).as("__s"),
+          min(col("latency_ms")).as("min_ms"),
+          max(col("latency_ms")).as("max_ms"))
+        .select(col("from_role"), col("to_role"), col("cnt"),
+          col("__s").cast("string").as("sum_ms"),
+          col("min_ms"), col("max_ms")))
+    }),
     "q_text_digest" -> ((s, dir) =>
       // shuffle-order-proof digest: collect (turn_idx, text) pairs,
       // sort inside the aggregate, then hash — FIXTURES.md §B.6
@@ -234,6 +295,20 @@ object RollupQueries extends QuerySet {
     // partitions carry batch 1's morning rows too)
     "q_tier_changes" ->
       s"""${ev1mCteWhere(s"WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '$tierMergeCut'")} ${presentSql("r1m")}""",
+    // time travel: the v1 snapshot is exactly the pre-noon rollup
+    "q_tier_timetravel" ->
+      s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierChangesMid'")} ${presentSql("r1m")}""",
+    // metrics: recount the 1m rollup per day; lineage depth = how many
+    // of the two run windows the day's buckets straddle (the noon cut
+    // is minute-aligned, so bucket-level classification equals the
+    // ts-level batch membership that decided which run wrote the row)
+    "q_tier_metrics" ->
+      s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut'")}
+         |SELECT strftime(bucket, '%Y-%m-%d') AS pd,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(MAX(CASE WHEN bucket < TIMESTAMP '$tierChangesMid' THEN 1 ELSE 0 END) +
+         |            MAX(CASE WHEN bucket >= TIMESTAMP '$tierChangesMid' THEN 1 ELSE 0 END) AS INT) AS n_runs
+         |FROM r1m GROUP BY 1 ORDER BY pd, n_rows, n_runs""".stripMargin,
     "q_streaming_rollup" -> s"$ev1mCte ${presentSql("r1m")}",
     "q_rollup_1m" -> s"$ev1mCte ${presentSql("r1m")}",
     "q_rollup_1h_cascade" ->
@@ -265,6 +340,19 @@ object RollupQueries extends QuerySet {
          |         MIN(v) AS min_v, MAX(v) AS max_v
          |  FROM tpts WHERE v IS NOT NULL GROUP BY 1, 2
          |) ${presentSql("r1m", withStd = false)}""".stripMargin,
+    "q_role_transitions" ->
+      s"""${Oracle.transcriptsCte},
+         |tr AS (
+         |  SELECT lag(role) OVER w AS from_role, role AS to_role,
+         |         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000.0 AS latency_ms
+         |  FROM transcripts WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+         |)
+         |SELECT from_role, to_role, COUNT(*) AS cnt,
+         |       CAST(SUM(CAST(latency_ms AS DECIMAL(18,6))) AS VARCHAR) AS sum_ms,
+         |       MIN(latency_ms) AS min_ms, MAX(latency_ms) AS max_ms
+         |FROM tr WHERE from_role IS NOT NULL
+         |GROUP BY 1, 2
+         |ORDER BY from_role, to_role, cnt, sum_ms, min_ms, max_ms""".stripMargin,
     "q_text_digest" ->
       s"""${Oracle.transcriptsCte}
          |SELECT conv_id,

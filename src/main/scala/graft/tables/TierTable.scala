@@ -329,6 +329,30 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     readEntries(resolvedEntries.filter(e => !base.get((e.pb, e.pd)).contains(e.dir)))
   }
 
+  /** Per-partition lineage + metrics as a DataFrame — the Iceberg
+    * `table.partitions` / `table.files` metadata-table analog: one row
+    * per live partition at HEAD with the row-count and byte metrics
+    * RECORDED AT COMMIT TIME and the runId lineage depth. Built
+    * entirely from the resolved manifest chain: no data file is
+    * opened, no Spark job scans the table — O(live partitions) driver
+    * work, the same order the planner already holds for a merge. At
+    * 100 TB this is what makes funnel/audit questions ("how many rows
+    * landed per day? which runs touched this partition?") metadata
+    * lookups instead of table scans. Zero-row marker entries
+    * (dir = "") are included — they exist precisely to carry lineage. */
+  def partitionMetrics: DataFrame = {
+    import spark.implicits._
+    resolvedEntries
+      .map(e => (e.pb, e.pd, e.rows, e.bytes, e.runIds.size, e.runIds))
+      .toDF("pb", "pd", "n_rows", "n_bytes", "n_runs", "run_ids")
+  }
+
+  /** Metadata-only row count — the Iceberg `SELECT count(*)` manifest
+    * shortcut: the sum of committed per-partition row counts, exact by
+    * the merge invariant (every commit records the written partition's
+    * count), with zero data I/O. */
+  def countRows: Long = resolvedEntries.map(_.rows).sum
+
   // ---- merge --------------------------------------------------------
 
   private def withPartCols(rollup: DataFrame): DataFrame =

@@ -72,6 +72,35 @@ class RollupSpec extends SparkSpecBase {
       Seq(None, Some(2000.0), Some(5000.0), None, Some(3000.0)))
   }
 
+  test("roleTransitions: consecutive pairs only, first turn emits nothing, µs latency") {
+    val turns = Seq(
+      model.Turn("c1", 0, "user", "t0", None, t(0)),
+      model.Turn("c1", 1, "assistant", "t1", None, t(2)),
+      model.Turn("c1", 2, "user", "t2", None, t(7)),
+      model.Turn("c1", 3, "tool", "t3", Some("search"), t(8)),
+      model.Turn("c2", 0, "user", "t0", None, t(1))).toDF()
+    val got = Signals.roleTransitions(turns)
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "from_role", "to_role", "latency_ms")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getDouble(4))).toSeq
+    // c2 has a single turn → no transition; c1 turn 0 excluded
+    assert(got == Seq(
+      ("c1", 1, "user", "assistant", 2000.0),
+      ("c1", 2, "assistant", "user", 5000.0),
+      ("c1", 3, "user", "tool", 1000.0)))
+    // sub-millisecond precision survives (the Timestamp.getTime
+    // ms-truncation class): 1500 µs = 1.5 ms, not 1.0
+    val fine = Seq(
+      model.Turn("c3", 0, "user", "a", None,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00.0005")),
+      model.Turn("c3", 1, "assistant", "b", None,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00.002"))).toDF()
+    val d = Signals.roleTransitions(fine).select("latency_ms")
+      .collect().head.getDouble(0)
+    assert(d == 1.5, s"got $d")
+  }
+
   test("rollup excludes null latencies and counts the rest") {
     val turns = Seq(
       model.Turn("c1", 0, "user", "a", None, t(0)),

@@ -118,6 +118,49 @@ class TierTableSpec extends SparkSpecBase {
     assert(totalRows == tt.read().count())
   }
 
+  test("partitionMetrics == recount at nBuckets=4; metadata-only (no table scan, zero jobs for countRows)") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    // a = day 0 + most of day 1; b = rest of day 1 + days 2–3, so the
+    // run sets per day are rA / both / rB — all three lineage shapes
+    val a = mkPts(3, 1000)
+    val b = mkPts(3, 1000, startSec = 1000L * 157)
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "rA")
+    tt.merge(Rollup.rollupRaw(b.toDF(), "minute"), "rB")
+    // recorded metrics equal an independent recount per (pb, pd)
+    val got = tt.partitionMetrics
+      .select("pb", "pd", "n_rows").as[(Int, String, Long)].collect().toSet
+    val want = tt.read()
+      .groupBy(
+        pmod(xxhash64(col("key")), lit(4L)).cast("int").as("pb"),
+        date_format(col("bucket"), "yyyy-MM-dd").as("pd"))
+      .agg(count(lit(1)).as("n_rows"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == want)
+    // lineage depth: partitions rewritten by both runs carry both ids
+    val byRuns = tt.partitionMetrics
+      .select("n_runs", "run_ids").as[(Int, Seq[String])].collect()
+    assert(byRuns.forall { case (n, ids) => n == ids.size })
+    assert(byRuns.exists(_._2 == Seq("rA", "rB")) &&
+      byRuns.exists(_._2 == Seq("rA")) && byRuns.exists(_._2 == Seq("rB")))
+    // metadata-only: the metrics plan opens no data file...
+    val plan = tt.partitionMetrics.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"), plan)
+    // ...and countRows runs ZERO Spark jobs yet equals the scan count
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val n = try { val n0 = tt.countRows; Thread.sleep(800); n0 }
+      finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get == 0, s"countRows ran ${jobs.get} Spark jobs")
+    assert(n == tt.read().count())
+  }
+
   test("delta manifests: commit I/O is O(touched partitions); compaction resolves identically") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 4)
