@@ -159,6 +159,34 @@ object RollupQueries extends QuerySet {
       ordered(t.partitionMetrics.select(
         col("pd"), col("n_rows"), col("n_runs")))
     }),
+    // Key-level DELETE (deleteKeys — the Iceberg copy-on-write DELETE
+    // analog / right-to-be-forgotten): merge the 5-day slice, delete
+    // two user keys, read — must equal the rollup computed WITHOUT
+    // those users' events, byte-for-byte, while partitions that never
+    // held them carry forward by reference (pruning spec-pinned at
+    // nBuckets = 4 in TierTableSpec; certified content-wise here).
+    "q_tier_delete" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qtd_${math.abs(dir.hashCode).toString}")
+      val t = new graft.tables.TierTable(s, s"$root/t1m", nBuckets = 4)
+      t.merge(Rollup.rollupRaw(pts, "minute"), "qtd_b1")
+      t.deleteKeys(Seq("1", "2"), "qtd_del")
+      ordered(Rollup.present(t.read()))
+    }),
+    // Merge-on-read twin (deleteKeysLazy — the Iceberg v2 equality-
+    // delete analog): the SAME result must come from an O(1) tombstone
+    // commit + the masked read (broadcast anti-join at scan time, no
+    // partition rewritten) — certified against the identical oracle as
+    // the copy-on-write row above; the applyTombstones equivalence and
+    // the countRows/incremental-scan caveats are spec-pinned.
+    "q_tier_delete_lazy" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qtl_${math.abs(dir.hashCode).toString}")
+      val t = new graft.tables.TierTable(s, s"$root/t1m", nBuckets = 4)
+      t.merge(Rollup.rollupRaw(pts, "minute"), "qtl_b1")
+      t.deleteKeysLazy(Seq("1", "2"), "qtl_del")
+      ordered(Rollup.present(t.read()))
+    }),
     // Streaming twin of the cascade (r2 verdict next-#7): replay the
     // events table as a bounded file stream in ≥3 micro-batches
     // through StreamingRollup.cascadeWriter (foreachBatch MERGE with
@@ -295,6 +323,12 @@ object RollupQueries extends QuerySet {
     // partitions carry batch 1's morning rows too)
     "q_tier_changes" ->
       s"""${ev1mCteWhere(s"WHERE ts >= TIMESTAMP '2024-01-03 00:00:00' AND ts < TIMESTAMP '$tierMergeCut'")} ${presentSql("r1m")}""",
+    // delete: the post-delete table is the rollup of everyone else
+    "q_tier_delete" ->
+      s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut' AND CAST(user_id AS VARCHAR) NOT IN ('1', '2')")} ${presentSql("r1m")}""",
+    // lazy delete: identical result through the tombstone-masked read
+    "q_tier_delete_lazy" ->
+      s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut' AND CAST(user_id AS VARCHAR) NOT IN ('1', '2')")} ${presentSql("r1m")}""",
     // time travel: the v1 snapshot is exactly the pre-noon rollup
     "q_tier_timetravel" ->
       s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierChangesMid'")} ${presentSql("r1m")}""",

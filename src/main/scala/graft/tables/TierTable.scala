@@ -128,7 +128,8 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val parent = """"parent":(-?\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
     val full = """"full":(true|false)""".r.findFirstMatchIn(s).get.group(1).toBoolean
     val entry =
-      """\{"pb":(\d+),"pd":"([^"]*)","dir":"([^"]*)","rows":(\d+),"bytes":(\d+),"runIds":\[([^\]]*)\]\}""".r
+      // pb may be -1: equality-delete tombstone entries
+      """\{"pb":(-?\d+),"pd":"([^"]*)","dir":"([^"]*)","rows":(\d+),"bytes":(\d+),"runIds":\[([^\]]*)\]\}""".r
     val entries = entry.findAllMatchIn(s).map { m =>
       val ids = quoted.findAllMatchIn(m.group(6)).map(q => unesc(q.group(1))).toSeq
       PartEntry(m.group(1).toInt, m.group(2), m.group(3), m.group(4).toLong,
@@ -282,11 +283,24 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   // ---- read ---------------------------------------------------------
 
   private def readEntries(es0: Seq[PartEntry]): DataFrame = {
+    // pb = -1 entries are equality-delete tombstones (deleteKeysLazy):
+    // key sets masked out of every read until applyTombstones rewrites
+    // them physically — the Iceberg v2 merge-on-read delete analog
+    val (tomb0, data0) = es0.partition(_.pb < 0)
     // dir = "" is a zero-row marker entry (empty AppendIndexTable
-    // batch recording its runId lineage) — nothing to scan
-    val es = es0.filter(_.dir.nonEmpty)
+    // batch / cleared tombstone recording its runId lineage) — nothing
+    // to scan
+    val es = data0.filter(_.dir.nonEmpty)
+    val tombs = tomb0.filter(_.dir.nonEmpty)
     if (es.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
+    else {
+      val base = spark.read.parquet(es.map(e => s"$root/${e.dir}"): _*)
+      if (tombs.isEmpty) base
+      else base.join(
+        spark.read.parquet(tombs.map(e => s"$root/${e.dir}"): _*)
+          .select(col("key")).distinct(),
+        Seq("key"), "left_anti") // tombstone sets are small → AQE broadcasts
+    }
   }
 
   /** Snapshot read: the file list comes from the resolved manifest
@@ -295,9 +309,12 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   def read(): DataFrame = readEntries(resolvedEntries)
 
   /** Time-pruned read: only partitions whose pd (day) falls in
-    * [lo, hi] are scanned — manifest-level partition pruning. */
+    * [lo, hi] are scanned — manifest-level partition pruning.
+    * Tombstones (pb < 0) always ride along: a pending delete masks
+    * every read regardless of the day window. */
   def read(loDay: String, hiDay: String): DataFrame =
-    readEntries(resolvedEntries.filter(e => e.pd >= loDay && e.pd <= hiDay))
+    readEntries(resolvedEntries.filter(e =>
+      e.pb < 0 || (e.pd >= loDay && e.pd <= hiDay)))
 
   /** Time travel: snapshot read AS OF a committed version. Works for
     * any version whose manifest chain survives (i.e. not below the
@@ -339,7 +356,9 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * 100 TB this is what makes funnel/audit questions ("how many rows
     * landed per day? which runs touched this partition?") metadata
     * lookups instead of table scans. Zero-row marker entries
-    * (dir = "") are included — they exist precisely to carry lineage. */
+    * (dir = "") are included — they exist precisely to carry lineage —
+    * and so are pending equality-delete tombstones (pb = -1), the same
+    * way Iceberg's metadata tables list delete files. */
   def partitionMetrics: DataFrame = {
     import spark.implicits._
     resolvedEntries
@@ -350,8 +369,16 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   /** Metadata-only row count — the Iceberg `SELECT count(*)` manifest
     * shortcut: the sum of committed per-partition row counts, exact by
     * the merge invariant (every commit records the written partition's
-    * count), with zero data I/O. */
-  def countRows: Long = resolvedEntries.map(_.rows).sum
+    * count), with zero data I/O. With PENDING tombstones
+    * ([[deleteKeysLazy]]) this is an upper bound — masked rows are
+    * still in the data files, exactly Iceberg's count(*) caveat under
+    * equality deletes; run [[applyTombstones]] to restore exactness
+    * (spec-pinned). */
+  def countRows: Long = resolvedEntries.filter(_.pb >= 0).map(_.rows).sum
+
+  /** Pending equality-delete tombstone entries at HEAD. */
+  def pendingTombstones: Seq[PartEntry] =
+    resolvedEntries.filter(e => e.pb < 0 && e.dir.nonEmpty)
 
   // ---- merge --------------------------------------------------------
 
@@ -473,6 +500,193 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     } finally upd.unpersist()
   }
 
+  /** Key-level DELETE — the Iceberg copy-on-write DELETE analog and
+    * the transcript engine's right-to-be-forgotten op: remove every
+    * row of `keys` (conv_ids / user keys) from the tier by rewriting
+    * ONLY the partitions that actually hold them.
+    *
+    * Partition pruning is two-stage: (1) manifest-level — only the
+    * hash buckets the keys map to are candidates (pure metadata, the
+    * same engine-side hash as the write path so there is no replica
+    * drift); (2) ONE pruned scan over those buckets' dirs finds the
+    * partitions that truly contain a target key (parquet column
+    * min/max + dictionary pushdown on `key` make this a metadata-heavy
+    * read), so forgetting one conversation at 100 TB rewrites O(days
+    * that conversation was active), not O(bucket) and never O(table).
+    * Untouched partitions carry forward by reference.
+    *
+    * A partition whose every row is deleted commits a zero-row marker
+    * entry (dir = "") — readers skip it, [[partitionMetrics]] reports
+    * 0 rows with the delete run in its lineage. Resume is
+    * lineage-idempotent per runId exactly like [[merge]] (a retry
+    * skips partitions whose lineage already records the delete).
+    *
+    * COPY-ON-WRITE CAVEAT (GDPR): earlier snapshots still serve the
+    * deleted rows — readAt(preDelete) is unchanged by design. Physical
+    * forgetting completes with [[expireSnapshots]] + [[vacuum]]
+    * (spec-pinned). `keys` is an in-filter list (the interactive
+    * forget-request shape); a bulk delete set should arrive as a
+    * DataFrame anti-join instead — not this entry point.
+    *
+    * Publishes nothing (returns the current manifest) when no
+    * partition contains the keys or the runId already applied. */
+  def deleteKeys(keys: Seq[String], runId: String): Manifest = {
+    require(keys.nonEmpty, "need at least one key to delete")
+    import spark.implicits._
+    val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
+    val prevVersion = readableHead
+    if (prevVersion < 0) return noop
+    val resolved = resolvedAt(prevVersion).map(e => (e.pb, e.pd) -> e).toMap
+    val newVersion = currentVersion + 1
+    val makeFull = newVersion % compactEvery == 0
+    val pbs = keys.toDF("key")
+      .select(pmod(xxhash64(col("key")), lit(nBuckets.toLong)).cast("int"))
+      .as[Int].collect().toSet
+    val cand = resolved.values.filter(e => e.dir.nonEmpty && pbs(e.pb)).toSeq
+    if (cand.isEmpty) return noop
+    // stage 2: one scan, pruned by the pushed key filter, naming the
+    // files (→ nonce-unique dirs → partitions) that hold target rows
+    val hitFiles = spark.read.parquet(cand.map(e => s"$root/${e.dir}"): _*)
+      .where(col("key").isin(keys: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+    val touched = cand
+      .filter(e => hitFiles.exists(_.contains(s"/${e.dir}/")))
+      .map(e => (e.pb, e.pd)).toSet
+    val doneForRun = resolved.collect {
+      case (part, e) if e.runIds.contains(runId) => part
+    }.toSet
+    val todo = touched -- doneForRun
+    if (todo.isEmpty) return noop
+
+    val todoDirs = todo.toSeq.flatMap(resolved.get).map(e => s"$root/${e.dir}")
+    // leaf-dir reads drop the hive partition columns; pb/pd are pure
+    // functions of (key, bucket) — same recompute as merge
+    val kept = withPartCols(spark.read.parquet(todoDirs: _*))
+      .where(!col("key").isin(keys: _*)).cache()
+    try {
+      val counts = kept.groupBy(col("pb"), col("pd")).count().collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val outDir = s"data/v$newVersion-${nonce()}"
+      if (counts.nonEmpty) {
+        kept.repartition(col("pb"), col("pd")).write
+          .partitionBy("pb", "pd")
+          .mode(SaveMode.Overwrite)
+          .parquet(s"$root/$outDir")
+      } // all rows deleted → only marker entries, no data dir at all
+      val newEntries = todo.toSeq.sorted.map { case (pb, pd) =>
+        val lineage = resolved((pb, pd)).runIds :+ runId
+        counts.get((pb, pd)) match {
+          case Some(n) =>
+            val dir = s"$outDir/pb=$pb/pd=$pd"
+            PartEntry(pb, pd, dir, n, dirSize(rootPath.resolve(dir)), lineage)
+          case None => PartEntry(pb, pd, "", 0L, 0L, lineage)
+        }
+      }
+      val entries =
+        if (makeFull)
+          (resolved.filterNot { case (part, _) => todo.contains(part) }
+            .values.toSeq ++ newEntries)
+            .map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))
+        else newEntries
+      val m = Manifest(newVersion, prevVersion, makeFull, entries)
+      commit(m)
+      m
+    } finally { kept.unpersist(); () }
+  }
+
+  /** Lazy key-level DELETE — the Iceberg v2 EQUALITY-DELETE
+    * (merge-on-read) analog and [[deleteKeys]]'s constant-time
+    * complement: commit the key set as a tombstone file and mask it
+    * out of every read ([[read]]/[[readAt]]/[[read(lo,hi)]] all apply
+    * pending tombstones via one broadcast anti-join) without touching
+    * a single data partition. At 100 TB this is what a forget-request
+    * queue needs: O(1) commit per request, physical rewrite deferred
+    * and BATCHED into one [[applyTombstones]] maintenance pass instead
+    * of one copy-on-write rewrite per request.
+    *
+    * Trade-offs, same as Iceberg's: [[countRows]] becomes an upper
+    * bound and [[readChangesSince]] does not surface masked-but-not-
+    * rewritten partitions as changes until the tombstone is applied
+    * (both spec-pinned). Physical forgetting still requires
+    * applyTombstones + expireSnapshots + vacuum.
+    *
+    * The tombstone rides the ordinary manifest as a PartEntry with
+    * pb = -1, pd = "ts:<runId>" (outside the day namespace; exempt
+    * from retention drops), so snapshot isolation, time travel, full-
+    * snapshot carry-forward, expiry and vacuum all handle it with no
+    * special cases. Replaying a runId is a no-op.
+    *
+    * Ordering semantics (simpler than Iceberg's sequence-number rule,
+    * deliberately): a pending tombstone masks its keys in EVERY read —
+    * including rows merged AFTER the tombstone was committed — until
+    * [[applyTombstones]] clears it. For the forget-request use case
+    * that is the right default (forget means forget, even against a
+    * racing late merge); spec-pinned. */
+  def deleteKeysLazy(keys: Seq[String], runId: String): Manifest = {
+    require(keys.nonEmpty, "need at least one key to delete")
+    import spark.implicits._
+    val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
+    val prevVersion = readableHead
+    if (prevVersion < 0) return noop // nothing committed yet to mask
+    val resolved = resolvedAt(prevVersion)
+    if (resolved.exists(e => e.pb < 0 && e.runIds.contains(runId)))
+      return noop // lineage-idempotent replay
+    val newVersion = currentVersion + 1
+    val makeFull = newVersion % compactEvery == 0
+    val outDir = s"data/v$newVersion-${nonce()}"
+    val dir = s"$outDir/tombstone"
+    val ks = keys.distinct
+    ks.toDF("key").coalesce(1).write.parquet(s"$root/$dir")
+    val entry = PartEntry(-1, s"ts:$runId", dir, ks.size.toLong,
+      dirSize(rootPath.resolve(dir)), Seq(runId))
+    val entries =
+      if (makeFull)
+        (resolved.map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))
+          :+ entry)
+      else Seq(entry)
+    val m = Manifest(newVersion, prevVersion, makeFull, entries)
+    commit(m)
+    m
+  }
+
+  /** Apply (compact) all pending tombstones: one [[deleteKeys]]
+    * copy-on-write rewrite over the UNION of pending key sets, then a
+    * second commit clearing the tombstone entries (zero-row markers
+    * keep their runId lineage visible). Crash-safe by idempotency:
+    * a re-run after a crash between the two commits finds the keys
+    * already gone (rewrite no-ops) and clears the markers; replaying
+    * `runId` entirely is a no-op. The batched shape is the point —
+    * N forget-requests cost ONE rewrite of the partitions that
+    * actually hold any of their keys. */
+  def applyTombstones(runId: String): Manifest = {
+    import spark.implicits._
+    val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
+    val tombs = pendingTombstones
+    if (tombs.isEmpty) return noop
+    val keys = spark.read.parquet(tombs.map(e => s"$root/${e.dir}"): _*)
+      .select(col("key")).distinct().as[String].collect().toSeq
+    if (keys.nonEmpty) deleteKeys(keys, runId) // no-op if already applied
+    // clear: replace each tombstone entry with a zero-row marker
+    val prevVersion = readableHead
+    val resolved = resolvedAt(prevVersion)
+    val todo = resolved.filter(e =>
+      e.pb < 0 && e.dir.nonEmpty && !e.runIds.contains(runId))
+    if (todo.isEmpty) return currentManifest.getOrElse(noop)
+    val newVersion = currentVersion + 1
+    val makeFull = newVersion % compactEvery == 0
+    val markers = todo.map(e =>
+      e.copy(dir = "", rows = 0L, bytes = 0L, runIds = e.runIds :+ runId))
+    val entries =
+      if (makeFull)
+        (resolved.filterNot(e => todo.exists(t => t.pb == e.pb && t.pd == e.pd))
+          ++ markers)
+          .map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))
+      else markers
+    val m = Manifest(newVersion, prevVersion, makeFull, entries)
+    commit(m)
+    m
+  }
+
   /** Reclaim orphan data directories: attempt-unique dirs written by
     * crashed or CAS-losing writers that no committed manifest (at any
     * version — older snapshots stay readable) references. Never
@@ -558,7 +772,10 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val prev = readableHead
     if (prev < 0) return 0
     val resolved = resolvedAt(prev)
-    val (dropped, kept) = resolved.partition(_.pd < cutoffDay)
+    // pb < 0 = tombstone entries: never retention-dropped (their pd is
+    // "ts:<runId>", not a day — and a pending delete must outlive the
+    // data it masks)
+    val (dropped, kept) = resolved.partition(e => e.pb >= 0 && e.pd < cutoffDay)
     if (dropped.isEmpty) return 0
     commit(Manifest(currentVersion + 1, prev, full = true,
       kept.map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))))

@@ -161,6 +161,108 @@ class TierTableSpec extends SparkSpecBase {
     assert(n == tt.read().count())
   }
 
+  test("deleteKeys: pruned copy-on-write delete; markers for emptied partitions; physical forgetting after expiry") {
+    val root = tmp()
+    // compactEvery = 1 → every commit is a full snapshot, so
+    // expireSnapshots can anchor right behind HEAD for the physical-
+    // forgetting assertion at the end
+    val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 1)
+    val a = mkPts(4, 1200) // k0..k3, ~2 days, every key every day
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "r1")
+    val vPre = tt.currentVersion
+    val dirsPre = tt.resolvedEntries.map(e => (e.pb, e.pd) -> e.dir).toMap
+    tt.deleteKeys(Seq("k1"), "del1")
+    // content: exactly k1's rows gone, everything else byte-identical
+    val got = Rollup.present(tt.read())
+    val want = Rollup.present(
+      Rollup.rollupRaw(a.filter(_.key != "k1").toDF(), "minute"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    // pruning: only partitions in k1's hash bucket were rewritten
+    val pbK1 = Seq("k1").toDF("key")
+      .select(pmod(xxhash64(col("key")), lit(4L)).cast("int"))
+      .as[Int].collect().head
+    tt.resolvedEntries.foreach { e =>
+      if (e.pb == pbK1) {
+        assert(e.dir != dirsPre((e.pb, e.pd)), s"bucket $pbK1 not rewritten")
+        assert(e.runIds.last == "del1")
+      } else assert(e.dir == dirsPre((e.pb, e.pd)), s"bucket ${e.pb} rewritten")
+    }
+    // metadata metrics follow the delete
+    assert(tt.countRows == tt.read().count())
+    // idempotent retry + absent-key delete publish nothing
+    val vNow = tt.currentVersion
+    tt.deleteKeys(Seq("k1"), "del1")
+    tt.deleteKeys(Seq("nope"), "del2")
+    assert(tt.currentVersion == vNow)
+    // copy-on-write: the pre-delete snapshot still serves k1
+    assert(Rollup.present(tt.readAt(vPre))
+      .where(col("key") === "k1").count() > 0)
+    // deleting every remaining key empties all partitions → markers
+    tt.deleteKeys(Seq("k0", "k2", "k3"), "del3")
+    assert(tt.read().count() == 0)
+    assert(tt.countRows == 0L)
+    assert(tt.partitionMetrics.where(col("n_rows") > 0).count() == 0)
+    // physical forgetting: expire old snapshots, vacuum their dirs —
+    // no parquet file anywhere under the table holds a deleted key
+    tt.expireSnapshots(keepLast = 1)
+    tt.vacuum()
+    val left = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(left)
+      .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(parquets.isEmpty, s"deleted rows physically remain: $parquets")
+  }
+
+  test("deleteKeysLazy: O(1)-commit tombstone masks reads; applyTombstones compacts; caveats pinned") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = mkPts(4, 1200)
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "r1")
+    val dirsPre = tt.resolvedEntries.map(_.dir).toSet
+    val vPre = tt.currentVersion
+    // O(1) commit: no data partition touched, one tombstone entry
+    tt.deleteKeysLazy(Seq("k1"), "td1")
+    assert(tt.resolvedEntries.filter(_.pb >= 0).map(_.dir).toSet == dirsPre)
+    assert(tt.pendingTombstones.size == 1)
+    // reads are masked NOW (current and time-pruned), old snapshot not
+    val want = Rollup.present(
+      Rollup.rollupRaw(a.filter(_.key != "k1").toDF(), "minute"))
+    val got = Rollup.present(tt.read())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(Rollup.present(tt.readAt(vPre))
+      .where(col("key") === "k1").count() > 0)
+    assert(tt.read("1970-01-01", "2100-01-01")
+      .where(col("key") === "k1").count() == 0)
+    // pinned caveat: countRows is an upper bound while pending
+    assert(tt.countRows > tt.read().count())
+    // pinned semantics: a key re-merged AFTER the tombstone stays
+    // masked until the tombstone is applied (forget means forget)
+    tt.merge(Rollup.rollupRaw(
+      Seq(model.Point("k1", t(999999), 1.0)).toDF(), "minute"), "r2")
+    assert(tt.read().where(col("key") === "k1").count() == 0)
+    // a second request batches in; idempotent replay publishes nothing
+    tt.deleteKeysLazy(Seq("k2"), "td2")
+    val vNow = tt.currentVersion
+    tt.deleteKeysLazy(Seq("k2"), "td2")
+    assert(tt.currentVersion == vNow)
+    // apply: ONE physical rewrite for both requests, tombstones
+    // cleared to markers (lineage kept), countRows exact again
+    tt.applyTombstones("apply1")
+    assert(tt.pendingTombstones.isEmpty)
+    assert(tt.resolvedEntries.exists(e =>
+      e.pb < 0 && e.dir.isEmpty && e.runIds == Seq("td1", "apply1")))
+    val want2 = Rollup.present(
+      Rollup.rollupRaw(a.filter(p => p.key != "k1" && p.key != "k2").toDF(),
+        "minute"))
+    val got2 = Rollup.present(tt.read())
+    assert(got2.exceptAll(want2).count() == 0 && want2.exceptAll(got2).count() == 0)
+    assert(tt.countRows == tt.read().count())
+    // replaying the apply runId is a no-op
+    val vEnd = tt.currentVersion
+    tt.applyTombstones("apply1")
+    assert(tt.currentVersion == vEnd)
+  }
+
   test("delta manifests: commit I/O is O(touched partitions); compaction resolves identically") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4, compactEvery = 4)
