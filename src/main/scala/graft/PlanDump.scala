@@ -184,6 +184,15 @@ object PlanDump {
           idx.addBatch(e2.where(col("vec_id") % 2 === 1), "pa_b1")
           idx.topK(e2, e2.where(col("vec_id") < 3), 5, nProbe = 2)
         }),
+      ("tier read under pending tombstones: broadcast anti-join of the key set (merge-on-read delete)",
+        "data partitions stream through the manifest-resolved scan unchanged; the tombstone key set (forget requests — small by contract) broadcasts, so a pending equality-delete costs no partition rewrite and no exchange on the data side",
+        {
+          val tRoot = Q.freshDir("graft_plandump_tomb")
+          val tt = new tables.TierTable(spark, tRoot, nBuckets = 4)
+          tt.merge(Rollup.rollupRaw(Q.eventPoints(spark, sf), "minute"), "pt_b1")
+          tt.deleteKeysLazy(Seq("1", "2"), "pt_del")
+          tt.read()
+        }),
       ("end-to-end curation: ONE LINEAR PLAN, raw text crosses three exchanges",
         "redaction, every quality flag AND the decontamination counts (bench grams as a codegen reference set — gram_hits) are projection work; text moves only on the line-hash agg (hashes), doc_id (reassembly) and sha256(clean) (exact-dedup window); no subtree is evaluated twice — the broadcast-join contamination + join-back alternative plans a full duplicate of the cleaning pipeline because per-consumer column pruning defeats ReuseExchange",
         {

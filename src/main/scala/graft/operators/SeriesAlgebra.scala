@@ -79,10 +79,18 @@ object SeriesAlgebra {
     * directions sort time DESCENDING in the same single shared
     * window; strictness only flips whether a ref at exactly probe.ts
     * sorts before or after the probe — everything else (one
-    * exchange, one sort, any number of right columns) is unchanged. */
+    * exchange, one sort, any number of right columns) is unchanged.
+    *
+    * `toleranceUs` (pandas merge_asof `tolerance`): when set, a match
+    * farther than this many microseconds from the probe is discarded
+    * (its right values go NULL — left semantics preserved). INCLUSIVE
+    * at the exact boundary, like pandas; the comparison is exact
+    * integer µs, post-window, so the plan shape is unchanged (the
+    * matched ref's own ts already rides inside the carried struct). */
   def asofJoin(left: DataFrame, right: DataFrame,
       rightVals: Seq[String], direction: String = "backward",
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false, toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ >= 0), "tolerance must be non-negative")
     require(Set("backward", "forward")(direction),
       s"direction must be backward or forward, got: $direction")
     val leftVals = left.columns.filterNot(Set("key", "ts")).toSeq
@@ -98,13 +106,15 @@ object SeriesAlgebra {
     // columns independently via per-column last(ignoreNulls) let a
     // probe mix values from different ref rows whenever one was NULL.
     val rvType = org.apache.spark.sql.types.StructType(
-      rightVals.map(n => r.schema(n)))
+      rightVals.map(n => r.schema(n)) :+
+        org.apache.spark.sql.types.StructField("__rts", r.schema("ts").dataType))
     val probes = left.select(
       Seq(col("key"), col("ts")) ++ leftVals.map(col) :+
         lit(null).cast(rvType).as("__rv") :+ lit(0).as("__ref"): _*)
     val refs = r.select(
       Seq(col("key"), col("ts")) ++ leftVals.map(nullOf(left, _)) :+
-        struct(rightVals.map(col): _*).as("__rv") :+ lit(1).as("__ref"): _*)
+        struct(rightVals.map(col) :+ col("ts").as("__rts"): _*).as("__rv") :+
+        lit(1).as("__ref"): _*)
     val time = if (direction == "backward") col("ts").asc else col("ts").desc
     // inclusive: a ref at the probe's exact ts must already be in the
     // frame → refs sort first at equal ts; strict: refs sort after
@@ -112,9 +122,18 @@ object SeriesAlgebra {
     val w = Window.partitionBy(col("key"))
       .orderBy(time, tie)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dist = abs(unix_micros(col("ts").cast("timestamp")) -
+      unix_micros(col("__rv").getField("__rts").cast("timestamp")))
+    // an out-of-tolerance match nulls the whole struct (null dist on
+    // an unmatched probe takes the otherwise branch — unchanged)
+    val rvOut = toleranceUs match {
+      case Some(t) => when(dist <= t, col("__rv")).otherwise(lit(null).cast(rvType))
+      case None => col("__rv")
+    }
     probes.unionByName(refs)
       .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
       .where(col("__ref") === 0)
+      .withColumn("__rv", rvOut)
       .select(Seq(col("key"), col("ts")) ++ leftVals.map(col) ++
         rightVals.map(n => col("__rv").getField(n).as(n)): _*)
   }
@@ -140,7 +159,8 @@ object SeriesAlgebra {
     * arithmetic can misorder a tie); a row with refs on only one side
     * takes that side. */
   def asofNearest(left: DataFrame, right: DataFrame,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String], toleranceUs: Option[Long] = None): DataFrame = {
+    require(toleranceUs.forall(_ >= 0), "tolerance must be non-negative")
     val leftVals = left.columns.filterNot(Set("key", "ts")).toSeq
     require(leftVals.intersect(rightVals).isEmpty,
       s"overlapping value columns: ${leftVals.intersect(rightVals)}")
@@ -165,6 +185,13 @@ object SeriesAlgebra {
     val us = unix_micros(col("ts").cast("timestamp"))
     def dist(c: Column) =
       abs(us - unix_micros(c.getField("__rts").cast("timestamp")))
+    // tolerance (pandas, inclusive): disqualify a candidate beyond it
+    // BEFORE the nearest pick — a null candidate's dist is null, so
+    // the when() nulls it unchanged
+    def qual(c: Column) = toleranceUs match {
+      case Some(t) => when(dist(c) <= t, c)
+      case None => c
+    }
     val useB = col("__f").isNull ||
       (col("__b").isNotNull && dist(col("__b")) <= dist(col("__f")))
     val pick = when(useB, col("__b")).otherwise(col("__f"))
@@ -172,6 +199,8 @@ object SeriesAlgebra {
       .withColumn("__b", last(col("__rv"), ignoreNulls = true).over(wB))
       .withColumn("__f", first(col("__rv"), ignoreNulls = true).over(wF))
       .where(col("__ref") === 0)
+      .withColumn("__b", qual(col("__b")))
+      .withColumn("__f", qual(col("__f")))
       .select(Seq(col("key"), col("ts")) ++ leftVals.map(col) ++
         rightVals.map(n => pick.getField(n).as(n)): _*)
   }

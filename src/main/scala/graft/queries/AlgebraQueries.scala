@@ -120,6 +120,20 @@ object AlgebraQueries extends QuerySet {
           count(lit(1))).as("rv"))
       ordered(SeriesAlgebra.asofNearest(p, hourly, Seq("rv")))
     }),
+    // as-of with tolerance (pandas merge_asof `tolerance`, inclusive):
+    // the hourly reference means every probe has a backward match at
+    // its own hour tick, so a 15-minute tolerance deterministically
+    // splits matches (first quarter of each hour kept, rest nulled) at
+    // every SF; the oracle post-filters DuckDB's native ASOF by the
+    // same exact integer µs distance
+    "q_asof_tolerance" -> ((s, dir) => {
+      val p = eventPoints(s, dir).select("key", "ts", "v")
+      val hourly = p.groupBy(col("key"), date_trunc("hour", col("ts")).as("ts"))
+        .agg((sum(col("v").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("rv"))
+      ordered(SeriesAlgebra.asofJoin(p, hourly, Seq("rv"),
+        toleranceUs = Some(900000000L)))
+    }),
     // bucketized interval join (SURVEY §2.6): deterministic md5-class
     // anchor events become ±30 min windows; every point lands in its
     // key's overlapping windows via the (key, hour-bucket) equi-join,
@@ -279,6 +293,15 @@ object AlgebraQueries extends QuerySet {
          |  FROM pts GROUP BY 1, 2)
          |SELECT p.key AS key, p.ts AS ts, p.v AS v, hr.rv AS rv
          |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts <= hr.rts
+         |ORDER BY key, ts, v, rv""".stripMargin,
+    "q_asof_tolerance" ->
+      s"""$ptsCte, hr AS (
+         |  SELECT key, date_trunc('hour', ts) AS rts,
+         |         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS rv
+         |  FROM pts GROUP BY 1, 2)
+         |SELECT p.key AS key, p.ts AS ts, p.v AS v,
+         |       CASE WHEN epoch_us(p.ts) - epoch_us(hr.rts) <= 900000000 THEN hr.rv END AS rv
+         |FROM pts p ASOF LEFT JOIN hr ON p.key = hr.key AND p.ts >= hr.rts
          |ORDER BY key, ts, v, rv""".stripMargin,
     "q_asof_nearest" ->
       s"""$ptsCte, hr AS (

@@ -166,6 +166,36 @@ class SeriesAlgebraSpec extends SparkSpecBase {
       Seq(Some(10.0), Some(10.0), Some(10.0), Some(30.0), Some(30.0), Some(30.0)))
   }
 
+  test("asof tolerance (pandas merge_asof): inclusive boundary, per-direction and nearest") {
+    // probes at 0..5 min; refs at 1 min (10) and 3 min (30)
+    val probes = pts("a", xs)
+    val refs = Seq(("a", t(60), 10.0), ("a", t(180), 30.0)).toDF("key", "ts", "rv")
+    def run(tolSec: Long) =
+      SeriesAlgebra.asofJoin(probes, refs, Seq("rv"),
+          toleranceUs = Some(tolSec * 1000000L))
+        .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    // tol = 60 s, INCLUSIVE: probes exactly 60 s past a ref keep it
+    assert(run(60) ==
+      Seq(None, Some(10.0), Some(10.0), Some(30.0), Some(30.0), None))
+    // tol = 59 s: the 60 s-distant probes drop (strictly-beyond test)
+    assert(run(59) ==
+      Seq(None, Some(10.0), None, Some(30.0), None, None))
+    // tol = 0: only exact-instant matches survive
+    assert(run(0) ==
+      Seq(None, Some(10.0), None, Some(30.0), None, None))
+    // nearest with tolerance: the equidistant probe at 2 min (60 s to
+    // both refs) keeps the backward pick at tol 60, drops at tol 59;
+    // a probe whose ONLY in-tolerance candidate is forward takes it
+    def near(tolSec: Long) =
+      SeriesAlgebra.asofNearest(probes, refs, Seq("rv"),
+          toleranceUs = Some(tolSec * 1000000L))
+        .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    assert(near(60) ==
+      Seq(Some(10.0), Some(10.0), Some(10.0), Some(30.0), Some(30.0), None))
+    assert(near(59) ==
+      Seq(None, Some(10.0), None, Some(30.0), None, None))
+  }
+
   test("asofJoin attaches the MATCHED row's values verbatim — a NULL right value stays NULL") {
     // ref at 1 min carries (10.0, x); ref at 3 min carries (NULL, y):
     // probes at/after 3 min must see rv = NULL (the matched ROW's
