@@ -89,6 +89,17 @@ final case class Series(df: DataFrame) {
   def rollup(unit: String): DataFrame = Rollup.rollupRaw(df, unit)
   def rollupSketched(unit: String): DataFrame = SketchedRollup.rollupRaw(df, unit)
   def toSegments(unit: String = "day"): DataFrame = Segments.toSegments(df, unit)
+  def ewma(k: Int, alpha: Double = 0.5): DataFrame =
+    SeriesOps.ewma(df, k, alpha)
+  def sessionize(gapSeconds: Long): DataFrame = SeriesOps.sessionize(df, gapSeconds)
+  def sessions(gapSeconds: Long): DataFrame = SeriesOps.sessions(df, gapSeconds)
+  def asof(right: DataFrame, rightVals: Seq[String],
+      direction: String = "backward", strict: Boolean = false,
+      toleranceUs: Option[Long] = None): DataFrame =
+    SeriesAlgebra.asofJoin(df, right, rightVals, direction, strict, toleranceUs)
+  def asofNearest(right: DataFrame, rightVals: Seq[String],
+      toleranceUs: Option[Long] = None): DataFrame =
+    SeriesAlgebra.asofNearest(df, right, rightVals, toleranceUs)
 
   // actions (thunder Data surface)
   def count(): Long = df.count()

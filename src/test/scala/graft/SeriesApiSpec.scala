@@ -49,6 +49,23 @@ class SeriesApiSpec extends SparkSpecBase {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("window/join family rides the fluent API: ewma, sessions, asof with tolerance") {
+    val s = series("a", xs)
+    // delegates are byte-identical to the operator calls
+    val viaApi = s.ewma(2).orderBy("ts")
+      .select("ewma").as[Double].collect().toSeq
+    val direct = graft.operators.SeriesOps.ewma(s.df, 2).orderBy("ts")
+      .select("ewma").as[Double].collect().toSeq
+    assert(viaApi == direct && viaApi.nonEmpty)
+    assert(s.sessions(120).columns.contains("n_points"))
+    val refs = Seq(("a", t(60), 10.0)).toDF("key", "ts", "rv")
+    val got = s.asof(refs, Seq("rv"), toleranceUs = Some(60000000L))
+      .orderBy("ts").select("rv").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(10.0), Some(10.0), None, None, None))
+    assert(s.asofNearest(refs, Seq("rv"), toleranceUs = Some(0L))
+      .where(col("rv").isNotNull).count() == 1)
+  }
+
   test("sketched cascade via RollupJob: tier tables carry mergeable kll") {
     val root = java.nio.file.Files.createTempDirectory("graft_skt").toString
     val pts = (0 until 2000).map { i =>
