@@ -343,7 +343,10 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       (sinceVersion >= 0 && Files.exists(metaDir.resolve(s"v$sinceVersion.json"))),
       s"version $sinceVersion of $root does not exist (expired or never committed)")
     val base = resolvedAt(sinceVersion).map(e => (e.pb, e.pd) -> e.dir).toMap
-    readEntries(resolvedEntries.filter(e => !base.get((e.pb, e.pd)).contains(e.dir)))
+    // pending tombstones ALWAYS ride along (changed or not): the mask
+    // applies to every read of current contents, incremental included
+    readEntries(resolvedEntries.filter(e =>
+      e.pb < 0 || !base.get((e.pb, e.pd)).contains(e.dir)))
   }
 
   /** Per-partition lineage + metrics as a DataFrame — the Iceberg

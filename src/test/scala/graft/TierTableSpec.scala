@@ -240,6 +240,15 @@ class TierTableSpec extends SparkSpecBase {
     tt.merge(Rollup.rollupRaw(
       Seq(model.Point("k1", t(999999), 1.0)).toDF(), "minute"), "r2")
     assert(tt.read().where(col("key") === "k1").count() == 0)
+    // incremental scans apply pending tombstones too — even ones
+    // committed BEFORE the snapshot the changes are relative to
+    val vMid = tt.currentVersion
+    tt.merge(Rollup.rollupRaw(
+      Seq(model.Point("k1", t(1200000), 2.0),
+        model.Point("k3", t(1200000), 3.0)).toDF(), "minute"), "r3")
+    val chg = tt.readChangesSince(vMid)
+    assert(chg.where(col("key") === "k1").count() == 0)
+    assert(chg.where(col("key") === "k3").count() == 1)
     // a second request batches in; idempotent replay publishes nothing
     tt.deleteKeysLazy(Seq("k2"), "td2")
     val vNow = tt.currentVersion
@@ -252,8 +261,8 @@ class TierTableSpec extends SparkSpecBase {
     assert(tt.resolvedEntries.exists(e =>
       e.pb < 0 && e.dir.isEmpty && e.runIds == Seq("td1", "apply1")))
     val want2 = Rollup.present(
-      Rollup.rollupRaw(a.filter(p => p.key != "k1" && p.key != "k2").toDF(),
-        "minute"))
+      Rollup.rollupRaw((a.filter(p => p.key != "k1" && p.key != "k2") :+
+        model.Point("k3", t(1200000), 3.0)).toDF(), "minute"))
     val got2 = Rollup.present(tt.read())
     assert(got2.exceptAll(want2).count() == 0 && want2.exceptAll(got2).count() == 0)
     assert(tt.countRows == tt.read().count())
