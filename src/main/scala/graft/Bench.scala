@@ -175,7 +175,7 @@ object Bench {
       "q_streaming_line_dedup", "q_substring_dups_incremental",
       "q_streaming_ann", "q_streaming_substring_dups", "q_dedup_compacted",
       "q_tier_timetravel", "q_tier_metrics", "q_tier_delete",
-      "q_tier_delete_lazy")
+      "q_tier_delete_lazy", "q_tier_delete_where")
     val orderedQs = SparkEntry.queries.toSeq.sortBy(_._1)
       .sortBy { case (name, _) => stateful(name) } // stable: alpha within class
     val results = orderedQs.map { case (name, fn) =>

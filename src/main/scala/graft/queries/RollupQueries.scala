@@ -173,6 +173,20 @@ object RollupQueries extends QuerySet {
       t.deleteKeys(Seq("1", "2"), "qtd_del")
       ordered(Rollup.present(t.read()))
     }),
+    // Predicate DELETE (deleteWhere — the general Iceberg DELETE WHERE
+    // analog): partial forget of ONE key's early days. The engine
+    // deletes rollup rows where (key = '1' AND bucket < Jan 3) via a
+    // pushdown discovery scan + rewrite of only file-hit partitions;
+    // the oracle filters the same rollup by NOT(pred).
+    "q_tier_delete_where" -> ((s, dir) => {
+      val pts = tierMergeSlice(s, dir)
+      val root = freshDir(s"graft_qtw_${math.abs(dir.hashCode).toString}")
+      val t = new graft.tables.TierTable(s, s"$root/t1m", nBuckets = 4)
+      t.merge(Rollup.rollupRaw(pts, "minute"), "qtw_b1")
+      val cut = lit("2024-01-03 00:00:00").cast(pts.schema("ts").dataType)
+      t.deleteWhere(col("key") === "1" && col("bucket") < cut, "qtw_del")
+      ordered(Rollup.present(t.read()))
+    }),
     // Merge-on-read twin (deleteKeysLazy — the Iceberg v2 equality-
     // delete analog): the SAME result must come from an O(1) tombstone
     // commit + the masked read (broadcast anti-join at scan time, no
@@ -326,6 +340,10 @@ object RollupQueries extends QuerySet {
     // delete: the post-delete table is the rollup of everyone else
     "q_tier_delete" ->
       s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut' AND CAST(user_id AS VARCHAR) NOT IN ('1', '2')")} ${presentSql("r1m")}""",
+    // predicate delete: the rollup minus the pred = TRUE rows
+    "q_tier_delete_where" ->
+      s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut'")} ${presentSql(
+        "(SELECT * FROM r1m WHERE NOT (key = '1' AND bucket < TIMESTAMP '2024-01-03 00:00:00')) f")}""",
     // lazy delete: identical result through the tombstone-masked read
     "q_tier_delete_lazy" ->
       s"""${ev1mCteWhere(s"WHERE ts < TIMESTAMP '$tierMergeCut' AND CAST(user_id AS VARCHAR) NOT IN ('1', '2')")} ${presentSql("r1m")}""",

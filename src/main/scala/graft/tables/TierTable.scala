@@ -540,18 +540,52 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val prevVersion = readableHead
     if (prevVersion < 0) return noop
     val resolved = resolvedAt(prevVersion).map(e => (e.pb, e.pd) -> e).toMap
-    val newVersion = currentVersion + 1
-    val makeFull = newVersion % compactEvery == 0
     val pbs = keys.toDF("key")
       .select(pmod(xxhash64(col("key")), lit(nBuckets.toLong)).cast("int"))
       .as[Int].collect().toSet
     val cand = resolved.values.filter(e => e.dir.nonEmpty && pbs(e.pb)).toSeq
+    rewriteWithout(cand, col("key").isin(keys: _*), runId, resolved, prevVersion)
+  }
+
+  /** Predicate DELETE — the general Iceberg `DELETE WHERE` analog:
+    * remove every row matching `pred` (an expression over the tier's
+    * DATA columns: key, bucket, cnt, sums, …) by rewriting only the
+    * partitions that actually hold a matching row. Without a key list
+    * there is no manifest-level bucket pruning, but the discovery scan
+    * still pushes `pred` into parquet (column min/max prune row
+    * groups) and only file-hit partitions rewrite — a partial forget
+    * like `key = 'c42' AND bucket < '2024-02-01'` touches exactly that
+    * conversation's early days. NULL predicate rows are KEPT (SQL
+    * DELETE semantics: only pred = TRUE deletes). Same lineage
+    * idempotency, marker, and copy-on-write/expiry story as
+    * [[deleteKeys]]. */
+  def deleteWhere(pred: org.apache.spark.sql.Column, runId: String): Manifest = {
+    val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
+    val prevVersion = readableHead
+    if (prevVersion < 0) return noop
+    val resolved = resolvedAt(prevVersion).map(e => (e.pb, e.pd) -> e).toMap
+    val cand = resolved.values.filter(e => e.dir.nonEmpty && e.pb >= 0).toSeq
+    rewriteWithout(cand, pred, runId, resolved, prevVersion)
+  }
+
+  /** Shared copy-on-write delete core: find the partitions among
+    * `cand` holding a pred = TRUE row (one pushdown scan), rewrite
+    * them without those rows, commit a delta with runId lineage. */
+  private def rewriteWithout(cand: Seq[PartEntry],
+      pred: org.apache.spark.sql.Column, runId: String,
+      resolved: Map[(Int, String), PartEntry], prevVersion: Int): Manifest = {
+    val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
     if (cand.isEmpty) return noop
-    // stage 2: one scan, pruned by the pushed key filter, naming the
-    // files (→ nonce-unique dirs → partitions) that hold target rows
-    val hitFiles = spark.read.parquet(cand.map(e => s"$root/${e.dir}"): _*)
-      .where(col("key").isin(keys: _*))
-      .select(input_file_name()).distinct().as[String].collect()
+    val newVersion = currentVersion + 1
+    val makeFull = newVersion % compactEvery == 0
+    // one scan, pruned by the pushed predicate, naming the files
+    // (→ nonce-unique dirs → partitions) that hold matching rows
+    val hitFiles = {
+      import spark.implicits._
+      spark.read.parquet(cand.map(e => s"$root/${e.dir}"): _*)
+        .where(pred)
+        .select(input_file_name()).distinct().as[String].collect()
+    }
     val touched = cand
       .filter(e => hitFiles.exists(_.contains(s"/${e.dir}/")))
       .map(e => (e.pb, e.pd)).toSet
@@ -563,9 +597,10 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
 
     val todoDirs = todo.toSeq.flatMap(resolved.get).map(e => s"$root/${e.dir}")
     // leaf-dir reads drop the hive partition columns; pb/pd are pure
-    // functions of (key, bucket) — same recompute as merge
+    // functions of (key, bucket) — same recompute as merge. Keep rows
+    // where pred is FALSE or NULL (SQL DELETE deletes only TRUE).
     val kept = withPartCols(spark.read.parquet(todoDirs: _*))
-      .where(!col("key").isin(keys: _*)).cache()
+      .where(!(pred <=> lit(true))).cache()
     try {
       val counts = kept.groupBy(col("pb"), col("pd")).count().collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -20,6 +20,6 @@ class SparkEntrySpec extends SparkSpecBase {
     // (xxhash64-defined generator; stubbed multimodal decode)
     assert(qs -- os == Set("q_synth_cascade", "q_multimodal_features"),
       s"unexpected rows-only set: ${qs -- os}")
-    assert(qs.size == 120 && os.size == 118)
+    assert(qs.size == 121 && os.size == 119)
   }
 }

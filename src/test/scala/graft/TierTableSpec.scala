@@ -213,6 +213,30 @@ class TierTableSpec extends SparkSpecBase {
     assert(parquets.isEmpty, s"deleted rows physically remain: $parquets")
   }
 
+  test("deleteWhere: predicate delete — partial range for one key; NULL pred keeps; replay no-ops") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val a = mkPts(3, 1200) // k0..k2 over ~2 days
+    tt.merge(Rollup.rollupRaw(a.toDF(), "minute"), "r1")
+    val cut = t(86400) // minute-aligned day boundary
+    val pred = col("key") === "k1" && col("bucket") < lit(cut)
+    tt.deleteWhere(pred, "dw1")
+    // k1's day-0 rows gone, its day-1 rows and every other key intact
+    val got = Rollup.present(tt.read())
+    val want = Rollup.present(Rollup.rollupRaw(
+      a.filterNot(p => p.key == "k1" && p.ts.getTime < cut.getTime).toDF(),
+      "minute"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.where(col("key") === "k1").count() > 0)
+    assert(tt.countRows == tt.read().count())
+    // NULL predicate deletes nothing (SQL DELETE semantics) and a
+    // replay of the applied predicate publishes nothing
+    val v = tt.currentVersion
+    tt.deleteWhere(lit(null).cast("boolean"), "dwn")
+    tt.deleteWhere(pred, "dw1")
+    assert(tt.currentVersion == v)
+  }
+
   test("deleteKeysLazy: O(1)-commit tombstone masks reads; applyTombstones compacts; caveats pinned") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
