@@ -238,6 +238,32 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * loser has written only to its own nonce'd data dir and its own
     * temp manifest, so the winner's snapshot is untouched. */
   protected def commit(m: Manifest): Unit = {
+    // Silent-skip guard: every version strictly between this
+    // manifest's parent and its own number must be UNREADABLE (a
+    // crash-corrupt head being deliberately bypassed — the documented
+    // heal path). A READABLE one is a valid commit that landed between
+    // the writer's readableHead resolve and its currentVersion read:
+    // publishing would walk the parent pointer PAST it and silently
+    // drop its entries from every future resolution. The version-
+    // collision CAS below cannot catch this (the numbers differ), so
+    // conflict here — same retry contract, and the retry re-resolves
+    // with the concurrent commit included. Expired gaps cannot appear
+    // in this range (expiry only removes below the current anchor).
+    if (m.version >= 0) ((m.parent + 1) until m.version).foreach { v =>
+      if (Files.exists(metaDir.resolve(s"v$v.json"))) {
+        val readable =
+          try { manifestAt(v); true }
+          catch {
+            case e: java.io.IOException => throw e // never guess on EIO
+            case _: Exception => false // corrupt: the intended bypass
+          }
+        if (readable) throw new TierTable.CommitConflictException(
+          s"commit conflict: version $v of $root committed concurrently " +
+            s"between resolve and publish of v${m.version} — re-read the " +
+            "snapshot and retry (publishing would silently drop v" + v +
+            "'s entries from the chain)")
+      }
+    }
     val tmp = metaDir.resolve(s"tmp-${nonce()}.json")
     Files.write(tmp, manifestJson(m).getBytes(StandardCharsets.UTF_8))
     // Durability before visibility: force the manifest's data pages to
@@ -704,11 +730,15 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val keys = spark.read.parquet(tombs.map(e => s"$root/${e.dir}"): _*)
       .select(col("key")).distinct().as[String].collect().toSeq
     if (keys.nonEmpty) deleteKeys(keys, runId) // no-op if already applied
-    // clear: replace each tombstone entry with a zero-row marker
+    // clear: replace each tombstone entry with a zero-row marker —
+    // ONLY the tombstones whose keys this pass actually applied. A
+    // forget-request committed concurrently (after `tombs` was read)
+    // must survive to the next apply, never be cleared unapplied.
+    val applied = tombs.map(e => (e.pb, e.pd)).toSet
     val prevVersion = readableHead
     val resolved = resolvedAt(prevVersion)
     val todo = resolved.filter(e =>
-      e.pb < 0 && e.dir.nonEmpty && !e.runIds.contains(runId))
+      applied((e.pb, e.pd)) && e.dir.nonEmpty && !e.runIds.contains(runId))
     if (todo.isEmpty) return currentManifest.getOrElse(noop)
     val newVersion = currentVersion + 1
     val makeFull = newVersion % compactEvery == 0

@@ -237,6 +237,63 @@ class TierTableSpec extends SparkSpecBase {
     assert(tt.currentVersion == v)
   }
 
+  test("commit guard: a manifest whose parent pointer would skip a READABLE version conflicts; corrupt versions still bypass") {
+    val root = tmp()
+    class Open(r: String) extends TierTable(spark, r, nBuckets = 2) {
+      def commitRaw(version: Int, parent: Int): Unit =
+        commit(Manifest(version, parent, full = false, Nil))
+    }
+    val tt = new Open(root)
+    tt.merge(Rollup.rollupRaw(mkPts(2, 100).toDF(), "minute"), "r0") // v0
+    tt.merge(Rollup.rollupRaw(mkPts(2, 100, 7000).toDF(), "minute"), "r1") // v1
+    // a writer that resolved at v0 and then tried to publish v2 would
+    // silently drop v1's entries from the chain — must conflict
+    intercept[TierTable.CommitConflictException] {
+      tt.commitRaw(2, 0)
+    }
+    assert(tt.currentVersion == 1) // nothing published
+    // corrupt intermediate: truncate v1 in place → the guard treats it
+    // as the documented crash-bypass case and lets v2 publish past it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_meta", "v1.json"),
+      "{\"version\":1,\"parent\":0,\"full\":false,\"entries\":[{\"pb\":0,"
+        .getBytes("UTF-8"))
+    tt.commitRaw(2, 0)
+    assert(tt.currentVersion == 2)
+  }
+
+  test("applyTombstones clears ONLY what it applied — a forget-request racing the apply survives pending") {
+    val root = tmp()
+    val other = new TierTable(spark, root, nBuckets = 2)
+    var inject = false
+    // seam: land a concurrent deleteKeysLazy in the window between the
+    // apply's rewrite commit and its marker commit (the exact window
+    // where an unapplied tombstone is visible to the marker's resolve)
+    val tt = new TierTable(spark, root, nBuckets = 2) {
+      override def deleteKeys(keys: Seq[String], runId: String): Manifest = {
+        val m = super.deleteKeys(keys, runId)
+        if (inject) { inject = false; other.deleteKeysLazy(Seq("k0"), "td2") }
+        m
+      }
+    }
+    tt.merge(Rollup.rollupRaw(mkPts(3, 600).toDF(), "minute"), "r1")
+    tt.deleteKeysLazy(Seq("k1"), "td1")
+    inject = true
+    tt.applyTombstones("ap1")
+    // td1 applied + cleared; the racing td2 is still PENDING (k0 rows
+    // still in the data, masked by the tombstone)
+    assert(tt.pendingTombstones.map(_.pd) == Seq("ts:td2"))
+    assert(tt.read().where(col("key") === "k0").count() == 0)
+    assert(tt.readAt(tt.currentVersion - 1) != null) // chain intact
+    // the next apply picks it up
+    tt.applyTombstones("ap2")
+    assert(tt.pendingTombstones.isEmpty)
+    val got = Rollup.present(tt.read())
+    val want = Rollup.present(
+      Rollup.rollupRaw(mkPts(3, 600).filter(_.key == "k2").toDF(), "minute"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("deleteKeysLazy: O(1)-commit tombstone masks reads; applyTombstones compacts; caveats pinned") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
