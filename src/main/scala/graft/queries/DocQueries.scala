@@ -74,7 +74,14 @@ object DocQueries extends QuerySet {
     // scalar presentation divide
     "q_lm_score" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      ordered(TextAnalysis.lmScore(d, d.where(col("source") === "src0")))
+      // sum_lp presented as its canonical fixed-scale string (the
+      // q_role_transitions decimal discipline): a raw DECIMAL column
+      // hashes differently through pyarrow vs DuckDB->pandas even
+      // when the values are identical; scale-4 decimal-to-string
+      // rendering is identical on both engines. xent stays the double
+      // divide of byte-identical operands.
+      ordered(TextAnalysis.lmScore(d, d.where(col("source") === "src0"))
+        .withColumn("sum_lp", col("sum_lp").cast("string")))
     }),
     // greedy sequence packing into 512-token context windows, 16
     // md5-nibble shards: per-shard sequential bin assignment (the
@@ -140,9 +147,16 @@ object DocQueries extends QuerySet {
         .select("doc_a", "doc_b")
       val pairs = Dedup.jaccard(cand, docs)
         .where(col("jaccard") >= 0.5).select("doc_a", "doc_b")
-      val quality = TextAnalysis.qualityScore(docs)
+      val cl = Dedup.clusters(pairs)
+      // quality is only consulted for CLUSTERED docs (inner join in
+      // selectRepresentatives) — semi-prune before the quality
+      // projection so the regex/token metrics never run on the
+      // unclustered corpus (cl is checkpointed: the extra reference
+      // is a cheap re-read, not a pipeline re-execution)
+      val quality = TextAnalysis.qualityScore(
+          docs.join(cl.select("doc_id"), Seq("doc_id"), "left_semi"))
         .select(col("doc_id"), col("quality"))
-      ordered(Dedup.selectRepresentatives(Dedup.clusters(pairs), quality))
+      ordered(Dedup.selectRepresentatives(cl, quality))
     }),
     // INCREMENTAL dedup maintenance (r3 verdict next-#5): the same
     // corpus arrives as 3 doc_id-partitioned batches appended to a
@@ -1114,7 +1128,8 @@ object DocQueries extends QuerySet {
         |SELECT d.doc_id,
         |       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
         |       CAST(coalesce(s.oov_tokens, 0) AS BIGINT) AS oov_tokens,
-        |       CAST(coalesce(s.sum_lp, 0) AS DECIMAL(18,4)) AS sum_lp,
+        |       CAST(CAST(coalesce(s.sum_lp, 0) AS DECIMAL(18,4)) AS VARCHAR)
+        |         AS sum_lp,
         |       CASE WHEN coalesce(s.n_tokens, 0) > 0
         |            THEN -CAST(CAST(s.sum_lp AS DECIMAL(18,4)) AS DOUBLE)
         |                 / s.n_tokens

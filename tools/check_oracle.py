@@ -18,6 +18,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm(df):
     cols = sorted(df.columns)
     df = df[cols]
+    # unify temporal resolution (pyarrow may surface us, duckdb ns or
+    # vice versa — a reader artifact, not a value difference; values
+    # are compared exactly below)
+    for c in cols:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
 
 def main(sf_dir, out_dir):
@@ -34,8 +40,25 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = norm(con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df())
+            # Spark side through PYARROW (the driver's read path), NOT
+            # DuckDB: reading both sides through the same engine
+            # collapses representation divergences (the r05 q_lm_score
+            # raw-DECIMAL class) that the driver's hash sees.
+            import pyarrow.parquet as pq
+            import pyarrow as pa
+            tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+            # representation lint: a presented decimal/binary column
+            # hashes engine-dependently — canonical string or double
+            # only (the q_role_transitions discipline).
+            bad_types = [f.name for f in tbl.schema
+                         if pa.types.is_decimal(f.type) or
+                            (pa.types.is_binary(f.type) or
+                             pa.types.is_large_binary(f.type))]
+            if bad_types:
+                print(f"FAIL {name}: presented decimal/binary column(s) "
+                      f"{bad_types} (representation-unsafe for the driver hash)")
+                n_fail += 1; continue
+            got = norm(tbl.to_pandas())
             want = norm(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
