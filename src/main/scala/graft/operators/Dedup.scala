@@ -153,16 +153,20 @@ object Dedup {
   /** Engine-portable signature variant: the hash family is
     * md5(seed ':' shingle) hex strings with string-MIN per seed —
     * reproducible in any engine with md5 (the DuckDB oracle replays it
-    * verbatim), unlike xxhash64. Same staged zero-shuffle shape; ~3×
-    * the hash cost of xxhash64, so the scale pipeline keeps the fast
-    * family and certification queries use this one. */
+    * verbatim), unlike xxhash64. Same staged zero-shuffle shape.
+    * The k×|sh| md5/min fold runs through the compiled
+    * [[graft.functions.TextHashExpressions.minhash_md5]] kernel
+    * (bit-identical to the HOF composition it replaced — pinned in
+    * TextHashKernelSpec; the DuckDB oracle rows stay green): digests
+    * compare as raw bytes, only the k winners hex-encode, no per-hash
+    * concat/lambda allocation. The `when(size >= 0)` guard keeps the
+    * double-reference barrier on `sh` so CollapseProject cannot
+    * re-inline the shingle expression (the documented HOF trap). */
   def minhashSignaturesPortable(docs: DataFrame, k: Int, shingleN: Int): DataFrame =
     withShingles(docs, shingleN)
       .select(col("doc_id"),
         when(size(col("sh")) >= 0,
-          transform(sequence(lit(0), lit(k - 1)), i =>
-            array_min(transform(col("sh"), s =>
-              md5(concat(i.cast("string"), lit(":"), s))))))
+          graft.functions.TextHashExpressions.minhash_md5(col("sh"), k))
           .as("sig"))
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands
@@ -277,14 +281,25 @@ object Dedup {
     * of candidate docs only. */
   def verifySubstrings(cand: DataFrame, docs: DataFrame, k: Int,
       minWords: Int): DataFrame = {
+    // materialize the (small) candidate set ONCE — referenced three
+    // times below, and the caller's generator (a fingerprint
+    // self-join) would otherwise re-execute per reference.
+    val candC = cand.localCheckpoint(true)
+    // prune BEFORE gram-hashing: the per-side joins keep candidate
+    // docs only, but the md5-per-gram projection would still run over
+    // the whole corpus — semi-join on the candidate id set first
+    // (small, AQE broadcasts), so verification touches candidate text
+    // only, as the two-stage contract promises (guide §3.2).
+    val candIds = candC.select(col("doc_a").as("doc_id"))
+      .unionByName(candC.select(col("doc_b").as("doc_id"))).distinct()
     // gram-position rows (doc_id, pos, g) — multiplicity + order kept
-    val grams = docs
+    val grams = docs.join(candIds, Seq("doc_id"), "left_semi")
       .withColumn("__toks", split(lower(col("text")), "\\s+"))
       .withColumn("__g", TextAnalysis.gramsOf(col("__toks"), k))
       .select(col("doc_id"), posexplode_outer(col("__g")))
       .where(col("col").isNotNull)
       .select(col("doc_id"), col("pos"), md5(col("col")).as("g"))
-    val matches = cand
+    val matches = candC
       .join(grams.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("g")), Seq("doc_a"))
       .join(grams.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("g")), Seq("doc_b", "g"))
     val wRun = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
@@ -302,8 +317,23 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given pairs (verification
     * stage after LSH candidates). `pairs` has (doc_a, doc_b). */
   def jaccard(pairs: DataFrame, docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = withShingles(docs, shingleN).select(col("doc_id"), col("sh"))
-    pairs
+    // materialize the (small) pair set ONCE: it is referenced three
+    // times below (id set + both joins), and the caller's candidate
+    // generator (an LSH self-join) would otherwise re-execute per
+    // reference — eager localCheckpoint is the repo's established
+    // staging barrier for exactly this.
+    val p = pairs.localCheckpoint(true)
+    // prune BEFORE shingling: the joins below keep only candidate
+    // docs, but a join cannot push below the shingle projection — an
+    // explicit semi-join on the candidate id set (small, AQE
+    // broadcasts) keeps the O(text) shingle work off every
+    // non-candidate document (guide §3.2; at 100 TB the candidate set
+    // is ≪ corpus, so verification touches candidate text only).
+    val candIds = p.select(col("doc_a").as("doc_id"))
+      .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = withShingles(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleN)
+      .select(col("doc_id"), col("sh"))
+    p
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -341,25 +371,16 @@ object Dedup {
     * 64-step fold (the documented HOF-recompute trap). */
   def simhashPortable(docs: DataFrame): DataFrame =
     docs
-      // decode each token's 16 hex nibbles ONCE (array<int> per token);
-      // the 64 bit-majorities below then index into the int array
-      // instead of re-running locate/substr 4× per bit per token.
-      // md5 is bound as the OUTER lambda's variable `h` so it is
-      // evaluated once per token, not once per nibble (lambda-embedded
-      // expressions re-evaluate per inner element — the HOF trap).
-      .withColumn("tn", expr(
-        """transform(
-          |  transform(split(lower(text), '\\s+'), t -> substring(md5(t), 1, 16)),
-          |  h -> transform(sequence(0, 15), p ->
-          |         locate(substr(h, p + 1, 1), '0123456789abcdef') - 1))""".stripMargin))
-      .withColumn("simhash", expr(
-        """CASE WHEN size(tn) >= 0 THEN aggregate(
-          |  sequence(0, 63), 0L,
-          |  (acc, b) -> acc + shiftleft(
-          |    CASE WHEN 2 * size(filter(tn, n ->
-          |      (element_at(n, CAST(b div 4 AS INT) + 1)
-          |        & shiftleft(1, 3 - b % 4)) > 0)) > size(tn)
-          |    THEN 1L ELSE 0L END, b)) END""".stripMargin))
+      // the 64 bit-majorities over per-token md5 nibbles run in ONE
+      // compiled pass (simhash_md5 kernel — bit-identical to the
+      // nibble-decode HOF fold it replaced, pinned in
+      // TextHashKernelSpec; the oracle replay is unchanged). The
+      // `when(size >= 0)` guard double-references the token array so
+      // CollapseProject cannot re-inline the split (the HOF trap).
+      .withColumn("__toks", split(lower(col("text")), "\\s+"))
+      .withColumn("simhash",
+        when(size(col("__toks")) >= 0,
+          graft.functions.TextHashExpressions.simhash_md5(col("__toks"))))
       .select(col("doc_id"), col("simhash"))
 
   /** SimHash near-dup candidates: Hamming(a,b) ≤ maxDist via 4×16-bit
@@ -476,13 +497,30 @@ object Dedup {
     // blows the heap — truncating lineage keeps each round's plan
     // constant-size. (On a real cluster prefer reliable checkpoint
     // to survive executor loss across rounds.)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions in ONE pass over `pairs` (explode of the
+    // two orientations) — the union-of-two-selects shape evaluated the
+    // caller's pair pipeline twice inside this one materialization
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    // convergence via the monotone label-sum invariant: every round
+    // takes per-vertex MIN over self ∪ neighbors, so labels never
+    // increase and the vertex set is fixed — the exact decimal sum of
+    // labels is unchanged iff NO label changed. One tiny aggregate on
+    // the already-checkpointed frame per round, replacing the old
+    // old-vs-new join + count (a second join job per round).
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty graph
+    }
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -492,11 +530,10 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), Seq("doc_id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     // a silent stop at maxIter would return SPLIT components (labels

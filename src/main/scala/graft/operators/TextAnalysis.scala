@@ -413,17 +413,14 @@ object TextAnalysis {
     docs
       .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
       .withColumn("__g", gramsOf(col("__toks"), k))
-      // staging barriers: each when(size >= 0, …) double-references
-      // its input so CollapseProject can't re-inline the previous
-      // stage into the next lambda (the documented HOF-recompute trap)
-      .withColumn("__h", when(size(col("__g")) >= 0,
-        transform(col("__g"), g => md5(g))))
-      .withColumn("__fp", when(size(col("__h")) >= 0, array_distinct(
-        filter(
-          transform(sequence(lit(0), greatest(size(col("__h")) - window, lit(0))),
-            i => when(i + window <= size(col("__h")),
-              array_min(slice(col("__h"), i + 1, lit(window))))),
-          x => x.isNotNull))))
+      // one compiled pass for md5-per-gram + sliding-window minima +
+      // first-occurrence distinct (winnow_md5 kernel — bit-identical
+      // to the staged HOF composition it replaced, pinned in
+      // TextHashKernelSpec; the oracle replay is unchanged). The
+      // when(size >= 0) guard double-references __g so CollapseProject
+      // can't re-inline the gram expression (the HOF-recompute trap).
+      .withColumn("__fp", when(size(col("__g")) >= 0,
+        graft.functions.TextHashExpressions.winnow_md5(col("__g"), window)))
       .select(col("doc_id"), explode_outer(col("__fp")).as("fp"))
       .where(col("fp").isNotNull)
   }
