@@ -488,10 +488,6 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       val merged = combined
         .groupBy(col("pb"), col("pd"), col("key"), col("bucket"))
         .agg(aggs.head, aggs.tail: _*)
-        .cache()
-
-      val counts = merged.groupBy(col("pb"), col("pd")).count().collect()
-        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
 
       // attempt-unique data dir: a CAS loser or crashed writer can
       // never have written into a directory a committed manifest
@@ -509,13 +505,19 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
         .partitionBy("pb", "pd")
         .mode(SaveMode.Overwrite)
         .parquet(s"$root/$outDir")
-      merged.unpersist()
 
+      // per-partition row counts come from the written parquet footers
+      // (exact — footer record counts are the writer's own row counts,
+      // no retry/accumulator hazard). This replaces a second full pass
+      // over `merged` (groupBy(pb, pd).count + an extra cache
+      // materialization): one Spark job per merge instead of two, and
+      // `merged` is computed exactly once.
       val newEntries = todo.toSeq.sorted.map { case (pb, pd) =>
         val dir = s"$outDir/pb=$pb/pd=$pd"
-        val bytes = dirSize(rootPath.resolve(dir))
+        val p = rootPath.resolve(dir)
+        val bytes = dirSize(p)
         val lineage = resolved.get((pb, pd)).map(_.runIds).getOrElse(Nil) :+ runId
-        PartEntry(pb, pd, dir, counts.getOrElse((pb, pd), 0L), bytes, lineage)
+        PartEntry(pb, pd, dir, dirRowCount(p), bytes, lineage)
       }
       val entries =
         if (makeFull)
@@ -688,6 +690,14 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * racing late merge); spec-pinned. */
   def deleteKeysLazy(keys: Seq[String], runId: String): Manifest = {
     require(keys.nonEmpty, "need at least one key to delete")
+    // runId is embedded in the manifest pd field (pd = "ts:<runId>").
+    // manifestJson escapes it, but the strict entry parser reads pd
+    // with ([^"]*) which cannot match escaped quotes — a quote or
+    // backslash would commit a manifest that later fails strict parse,
+    // silently losing the tombstone (ADVICE r5 #1). Fail loudly here.
+    require(runId.matches("[A-Za-z0-9._/:-]+"),
+      s"deleteKeysLazy runId must match [A-Za-z0-9._/:-]+ (it is embedded " +
+        s"in the manifest pd field); got: $runId")
     import spark.implicits._
     val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
     val prevVersion = readableHead
@@ -907,6 +917,25 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     if (!Files.exists(p)) 0L
     else Files.walk(p).iterator().asScala
       .filter(Files.isRegularFile(_)).map(Files.size).sum
+
+  /** Exact row count of the parquet files under `p` from their
+    * footers (the writer's own record counts — no Spark job). One
+    * footer read per file; the hash-distributed write leaves one file
+    * per partition dir, so this is O(1) I/O per entry. */
+  protected def dirRowCount(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      val conf = spark.sessionState.newHadoopConf()
+      Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    }
 
   // small helper: Set[(Int,String)] → DataFrame(pb, pd)
   implicit private class TupleSeqOps(s: Seq[(Int, String)]) {

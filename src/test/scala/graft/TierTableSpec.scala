@@ -294,6 +294,19 @@ class TierTableSpec extends SparkSpecBase {
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
+  test("deleteKeysLazy: unsafe runId (quote/backslash → strict-parse-poisoned pd) is rejected loudly") {
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    tt.merge(Rollup.rollupRaw(mkPts(2, 60).toDF(), "minute"), "r1")
+    val vPre = tt.currentVersion
+    Seq("bad\"quote", "bad\\slash", "bad space", "").foreach { rid =>
+      intercept[IllegalArgumentException](tt.deleteKeysLazy(Seq("k0"), rid))
+    }
+    // nothing committed, table still fully readable
+    assert(tt.currentVersion == vPre && tt.pendingTombstones.isEmpty)
+    assert(tt.read().count() > 0)
+  }
+
   test("deleteKeysLazy: O(1)-commit tombstone masks reads; applyTombstones compacts; caveats pinned") {
     val root = tmp()
     val tt = new TierTable(spark, root, nBuckets = 4)
