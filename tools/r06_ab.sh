@@ -6,7 +6,7 @@
 set -u
 SF=/root/testdata/sf0.1
 OUT=/root/repo/bench_evidence/r06_ab.jsonl
-GROUPS=(
+QGROUPS=(
   "q_minhash_lsh,q_simhash_neardups,q_substring_dups"
   "q_dedup_clusters,q_dedup_select"
   "q_gapfill_locf,q_gapfill_interp"
@@ -20,7 +20,7 @@ for tree in "$@"; do
     after)  DIR=/root/repo;;
     *) echo "usage: r06_ab.sh before|after..."; exit 1;;
   esac
-  for g in "${GROUPS[@]}"; do
+  for g in "${QGROUPS[@]}"; do
     echo "== $tree $g =="
     line=$(cd "$DIR" && SPARK_GRAFT_CPUS=32 timeout 1200 sbt -batch \
       "runMain graft.QueryBench $SF $g 3" 2>/dev/null | grep '^{')
