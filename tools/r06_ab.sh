@@ -23,7 +23,7 @@ for tree in "$@"; do
   for g in "${QGROUPS[@]}"; do
     echo "== $tree $g =="
     line=$(cd "$DIR" && SPARK_GRAFT_CPUS=32 timeout 1200 sbt -batch \
-      "runMain graft.QueryBench $SF $g 3" 2>/dev/null | grep '^{')
+      "runMain graft.QueryBench $SF $g 3" 2>/dev/null | grep -F '"min"' | sed 's/^\[info\] //')
     echo "{\"tree\":\"$tree\",\"group\":\"$g\",\"res\":$line}" | tee -a "$OUT"
   done
 done
