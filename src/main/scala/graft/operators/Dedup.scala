@@ -37,11 +37,24 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesOf(split(lower(text), "\\s+"), n)
 
+  /** Scale-adaptive scan parallelism for expensive per-row text
+    * projections (guide §2.5 "input skew"): when the upstream plan has
+    * fewer partitions than the session's parallelism — the
+    * one-small-file / one-gzip-member case, where the WHOLE signature
+    * pass would run on one core — round-robin repartition to
+    * defaultParallelism first. A no-op (no exchange) whenever the
+    * input is already at least core-parallel, which is the normal
+    * 100 TB case; derived from the actual plan, never a constant. */
+  private[operators] def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Stage tokenization + shingling as bound columns so each step
     * evaluates once per row. `toks` is multi-referenced, which also
     * blocks CollapseProject from re-inlining it. */
   def withShingles(docs: DataFrame, n: Int, out: String = "sh"): DataFrame =
-    docs
+    parallelized(docs)
       .withColumn("__toks", split(lower(col("text")), "\\s+"))
       .withColumn(out, shinglesOf(col("__toks"), n))
       .drop("__toks")
@@ -293,7 +306,7 @@ object Dedup {
     val candIds = candC.select(col("doc_a").as("doc_id"))
       .unionByName(candC.select(col("doc_b").as("doc_id"))).distinct()
     // gram-position rows (doc_id, pos, g) — multiplicity + order kept
-    val grams = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val grams = parallelized(docs.join(candIds, Seq("doc_id"), "left_semi"))
       .withColumn("__toks", split(lower(col("text")), "\\s+"))
       .withColumn("__g", TextAnalysis.gramsOf(col("__toks"), k))
       .select(col("doc_id"), posexplode_outer(col("__g")))
@@ -350,7 +363,7 @@ object Dedup {
     * WholeStageCodegen stage, unlike an explode-per-bit shape that
     * would multiply rows 64×. */
   def simhash(docs: DataFrame): DataFrame =
-    docs
+    parallelized(docs)
       .withColumn("th", expr(
         "transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
       .withColumn("simhash", expr(
@@ -370,7 +383,7 @@ object Dedup {
     * CollapseProject can't re-inline the md5 transform into the
     * 64-step fold (the documented HOF-recompute trap). */
   def simhashPortable(docs: DataFrame): DataFrame =
-    docs
+    parallelized(docs)
       // the 64 bit-majorities over per-token md5 nibbles run in ONE
       // compiled pass (simhash_md5 kernel — bit-identical to the
       // nibble-decode HOF fold it replaced, pinned in

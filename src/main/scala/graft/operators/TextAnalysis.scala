@@ -410,7 +410,7 @@ object TextAnalysis {
   def winnowing(docs: DataFrame, k: Int = 4, window: Int = 4,
       textCol: String = "text"): DataFrame = {
     require(k >= 1 && window >= 1, "k and window must be positive")
-    docs
+    Dedup.parallelized(docs)
       .withColumn("__toks", split(lower(col(textCol)), "\\s+"))
       .withColumn("__g", gramsOf(col("__toks"), k))
       // one compiled pass for md5-per-gram + sliding-window minima +

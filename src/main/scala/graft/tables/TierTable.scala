@@ -918,6 +918,10 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     else Files.walk(p).iterator().asScala
       .filter(Files.isRegularFile(_)).map(Files.size).sum
 
+  // one Hadoop conf per table instance — newHadoopConf() parses the
+  // full XML default set, far too heavy to rebuild per footer read
+  @transient private lazy val footerConf = spark.sessionState.newHadoopConf()
+
   /** Exact row count of the parquet files under `p` from their
     * footers (the writer's own record counts — no Spark job). One
     * footer read per file; the hash-distributed write leaves one file
@@ -925,7 +929,7 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   protected def dirRowCount(p: Path): Long =
     if (!Files.exists(p)) 0L
     else {
-      val conf = spark.sessionState.newHadoopConf()
+      val conf = footerConf
       Files.walk(p).iterator().asScala
         .filter(f => Files.isRegularFile(f) &&
           f.getFileName.toString.endsWith(".parquet"))

@@ -74,10 +74,20 @@ class PlanSpec extends SparkSpecBase {
     assert(hasCodegen(plan), s"no codegen:\n$plan")
   }
 
-  test("simhash is a pure projection (no exchange)") {
-    val df = Dedup.simhash(Tables.documents(spark, sf("sf0.001")))
+  test("simhash is a pure projection (no exchange) on core-parallel input") {
+    // the scale claim: over an input whose scan is at least
+    // core-parallel (the normal 100 TB case) the signature pass adds
+    // NO exchange. (On a below-parallelism scan — one small file —
+    // Dedup.parallelized round-robins first, by design: guide §2.5.)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    val df = Dedup.simhash(docs)
     val plan = planOf(df)
     assert(shuffles(plan) == 0, s"unexpected shuffle:\n$plan")
+    // and the small-scan adaptation really fires on a 1-split file
+    val one = Dedup.simhash(Tables.documents(spark, sf("sf0.001")))
+    assert(shuffles(planOf(one)) == 1, s"expected the §2.5 repartition:\n${planOf(one)}")
   }
 
   test("brute-force knn broadcasts queries; corpus side never shuffles before scoring") {
