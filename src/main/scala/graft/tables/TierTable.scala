@@ -564,6 +564,11 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   def deleteKeys(keys: Seq[String], runId: String): Manifest = {
     require(keys.nonEmpty, "need at least one key to delete")
     import spark.implicits._
+    // bulk lists go through the DataFrame anti-join path — a giant
+    // literal In expression is a driver-memory/plan-size/Janino
+    // hazard (ADVICE r5 #2); 1000 literals is well inside safe plan
+    // size while keeping the interactive path join-free
+    if (keys.size > 1000) return deleteKeys(keys.toDF("key"), runId)
     val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
     val prevVersion = readableHead
     if (prevVersion < 0) return noop
@@ -573,6 +578,29 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       .as[Int].collect().toSet
     val cand = resolved.values.filter(e => e.dir.nonEmpty && pbs(e.pb)).toSeq
     rewriteWithout(cand, col("key").isin(keys: _*), runId, resolved, prevVersion)
+  }
+
+  /** Bulk copy-on-write key delete: the delete set arrives as a
+    * one-column `key` DataFrame (e.g. the union of pending tombstone
+    * files) — discovery via semi-join, rewrite via left-anti join,
+    * manifest-level pb-bucket pruning from the key set's hash buckets
+    * (a ≤ nBuckets collect, never the keys themselves). Same lineage
+    * idempotency, marker and copy-on-write/expiry story as the Seq
+    * form. */
+  def deleteKeys(keysDf: DataFrame, runId: String): Manifest = {
+    import spark.implicits._
+    val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
+    val prevVersion = readableHead
+    if (prevVersion < 0) return noop
+    val resolved = resolvedAt(prevVersion).map(e => (e.pb, e.pd) -> e).toMap
+    val keys = keysDf.select(col("key")).where(col("key").isNotNull)
+      .distinct().localCheckpoint(true)
+    val pbs = keys
+      .select(pmod(xxhash64(col("key")), lit(nBuckets.toLong)).cast("int"))
+      .distinct().as[Int].collect().toSet
+    if (pbs.isEmpty) return noop // empty delete set
+    val cand = resolved.values.filter(e => e.dir.nonEmpty && pbs(e.pb)).toSeq
+    rewriteWithoutKeys(cand, keys, runId, resolved, prevVersion)
   }
 
   /** Predicate DELETE — the general Iceberg `DELETE WHERE` analog:
@@ -601,17 +629,37 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     * them without those rows, commit a delta with runId lineage. */
   private def rewriteWithout(cand: Seq[PartEntry],
       pred: org.apache.spark.sql.Column, runId: String,
-      resolved: Map[(Int, String), PartEntry], prevVersion: Int): Manifest = {
+      resolved: Map[(Int, String), PartEntry], prevVersion: Int): Manifest =
+    rewriteWithoutCore(cand, runId, resolved, prevVersion,
+      hit = _.where(pred),
+      // keep rows where pred is FALSE or NULL (SQL DELETE deletes only TRUE)
+      keep = _.where(!(pred <=> lit(true))))
+
+  /** DataFrame twin of the delete core — the BULK path (ADVICE r5 #2):
+    * the delete set arrives as a one-column `key` DataFrame, discovery
+    * is a semi-join and the rewrite a left-anti join, so a 10⁵-key
+    * forget backlog never builds a 10⁵-literal In expression (driver
+    * memory, plan size, Janino pressure — the documented wide-literal
+    * class). */
+  private def rewriteWithoutKeys(cand: Seq[PartEntry], keysDf: DataFrame,
+      runId: String, resolved: Map[(Int, String), PartEntry],
+      prevVersion: Int): Manifest =
+    rewriteWithoutCore(cand, runId, resolved, prevVersion,
+      hit = _.join(keysDf, Seq("key"), "left_semi"),
+      keep = _.join(keysDf, Seq("key"), "left_anti"))
+
+  private def rewriteWithoutCore(cand: Seq[PartEntry], runId: String,
+      resolved: Map[(Int, String), PartEntry], prevVersion: Int,
+      hit: DataFrame => DataFrame, keep: DataFrame => DataFrame): Manifest = {
     val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
     if (cand.isEmpty) return noop
     val newVersion = currentVersion + 1
     val makeFull = newVersion % compactEvery == 0
-    // one scan, pruned by the pushed predicate, naming the files
-    // (→ nonce-unique dirs → partitions) that hold matching rows
+    // one scan, pruned by the pushed predicate / semi-join, naming the
+    // files (→ nonce-unique dirs → partitions) that hold matching rows
     val hitFiles = {
       import spark.implicits._
-      spark.read.parquet(cand.map(e => s"$root/${e.dir}"): _*)
-        .where(pred)
+      hit(spark.read.parquet(cand.map(e => s"$root/${e.dir}"): _*))
         .select(input_file_name()).distinct().as[String].collect()
     }
     val touched = cand
@@ -625,10 +673,8 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
 
     val todoDirs = todo.toSeq.flatMap(resolved.get).map(e => s"$root/${e.dir}")
     // leaf-dir reads drop the hive partition columns; pb/pd are pure
-    // functions of (key, bucket) — same recompute as merge. Keep rows
-    // where pred is FALSE or NULL (SQL DELETE deletes only TRUE).
-    val kept = withPartCols(spark.read.parquet(todoDirs: _*))
-      .where(!(pred <=> lit(true))).cache()
+    // functions of (key, bucket) — same recompute as merge.
+    val kept = keep(withPartCols(spark.read.parquet(todoDirs: _*))).cache()
     try {
       val counts = kept.groupBy(col("pb"), col("pd")).count().collect()
         .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -737,9 +783,12 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val noop = currentManifest.getOrElse(Manifest(-1, -1, full = true, Nil))
     val tombs = pendingTombstones
     if (tombs.isEmpty) return noop
-    val keys = spark.read.parquet(tombs.map(e => s"$root/${e.dir}"): _*)
-      .select(col("key")).distinct().as[String].collect().toSeq
-    if (keys.nonEmpty) deleteKeys(keys, runId) // no-op if already applied
+    // the batched-apply path IS the bulk case: feed the tombstone
+    // parquet directly to the DataFrame delete (semi/anti joins) —
+    // never collect the key union to the driver or build a literal
+    // In list from it (ADVICE r5 #2)
+    deleteKeys(spark.read.parquet(tombs.map(e => s"$root/${e.dir}"): _*)
+      .select(col("key")), runId) // no-op if already applied
     // clear: replace each tombstone entry with a zero-row marker —
     // ONLY the tombstones whose keys this pass actually applied. A
     // forget-request committed concurrently (after `tombs` was read)

@@ -275,6 +275,14 @@ class TierTableSpec extends SparkSpecBase {
         if (inject) { inject = false; other.deleteKeysLazy(Seq("k0"), "td2") }
         m
       }
+      // applyTombstones now feeds the tombstone parquet to the
+      // DataFrame overload (bulk join path) — hook the same seam there
+      override def deleteKeys(keysDf: org.apache.spark.sql.DataFrame,
+          runId: String): Manifest = {
+        val m = super.deleteKeys(keysDf, runId)
+        if (inject) { inject = false; other.deleteKeysLazy(Seq("k0"), "td2") }
+        m
+      }
     }
     tt.merge(Rollup.rollupRaw(mkPts(3, 600).toDF(), "minute"), "r1")
     tt.deleteKeysLazy(Seq("k1"), "td1")
@@ -291,6 +299,45 @@ class TierTableSpec extends SparkSpecBase {
     val got = Rollup.present(tt.read())
     val want = Rollup.present(
       Rollup.rollupRaw(mkPts(3, 600).filter(_.key == "k2").toDF(), "minute"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
+  test("bulk deleteKeys (10^5 keys) routes through the DataFrame join path, result equals the Seq path") {
+    import spark.implicits._
+    val rootA = tmp(); val rootB = tmp()
+    val pts = mkPts(6, 600)
+    val ta = new TierTable(spark, rootA, nBuckets = 4)
+    val tb = new TierTable(spark, rootB, nBuckets = 4)
+    ta.merge(Rollup.rollupRaw(pts.toDF(), "minute"), "r1")
+    tb.merge(Rollup.rollupRaw(pts.toDF(), "minute"), "r1")
+    // 100k-key forget batch, mostly absent keys + the live k1/k3
+    val bulk = (1 to 100000).map(i => s"absent$i") ++ Seq("k1", "k3")
+    ta.deleteKeys(bulk, "bigdel") // > 1000 → DataFrame path
+    tb.deleteKeys(Seq("k1", "k3"), "bigdel")
+    val a = Rollup.present(ta.read()).orderBy("key", "bucket").collect().toSeq
+    val b = Rollup.present(tb.read()).orderBy("key", "bucket").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(Rollup.present(ta.read()).where(col("key").isin("k1", "k3")).count() == 0)
+    // replay is a lineage no-op on the join path too
+    val v = ta.currentVersion
+    ta.deleteKeys(bulk, "bigdel")
+    assert(ta.currentVersion == v)
+  }
+
+  test("applyTombstones feeds tombstone parquet to the join path (no driver key collect), masks equal") {
+    import spark.implicits._
+    val root = tmp()
+    val tt = new TierTable(spark, root, nBuckets = 4)
+    val pts = mkPts(6, 600)
+    tt.merge(Rollup.rollupRaw(pts.toDF(), "minute"), "r1")
+    tt.deleteKeysLazy((1 to 20000).map(i => s"nok$i") :+ "k2", "td1")
+    tt.deleteKeysLazy(Seq("k4"), "td2")
+    tt.applyTombstones("apply1")
+    assert(tt.pendingTombstones.isEmpty)
+    val want = Rollup.present(
+      Rollup.rollupRaw(pts.filterNot(p => p.key == "k2" || p.key == "k4").toDF(),
+        "minute"))
+    val got = Rollup.present(tt.read())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
   }
 
