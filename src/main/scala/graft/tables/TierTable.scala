@@ -468,7 +468,11 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
         if (dirs.isEmpty) None else Some(withPartCols(spark.read.parquet(dirs: _*)))
       }
 
-      val updTodo = upd.join(todoDf, Seq("pb", "pd"), "left_semi")
+      // when nothing resumed, todo == affected and the semi-join
+      // selects every row — skip the join outright
+      val updTodo =
+        if (doneForRun.isEmpty) upd
+        else upd.join(todoDf, Seq("pb", "pd"), "left_semi")
       val combined = existingAffected match {
         case Some(ex) => ex.unionByName(updTodo)
         case None => updTodo
@@ -511,8 +515,11 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
       // no retry/accumulator hazard). This replaces a second full pass
       // over `merged` (groupBy(pb, pd).count + an extra cache
       // materialization): one Spark job per merge instead of two, and
-      // `merged` is computed exactly once.
-      val newEntries = todo.toSeq.sorted.map { case (pb, pd) =>
+      // `merged` is computed exactly once. Entry metadata I/O (footer
+      // + dir walk per touched partition) runs in parallel — a wide
+      // merge (hundreds of (pb, day) dirs) would otherwise serialize
+      // hundreds of millisecond-class file opens on the driver.
+      val newEntries = parallelMap(todo.toSeq.sorted) { case (pb, pd) =>
         val dir = s"$outDir/pb=$pb/pd=$pd"
         val p = rootPath.resolve(dir)
         val bytes = dirSize(p)
@@ -970,6 +977,16 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
   // one Hadoop conf per table instance — newHadoopConf() parses the
   // full XML default set, far too heavy to rebuild per footer read
   @transient private lazy val footerConf = spark.sessionState.newHadoopConf()
+
+  /** Driver-side parallel map for per-entry metadata I/O (footer
+    * reads, dir walks) — order-preserving, propagates the first
+    * failure. Bounded by the default global pool. */
+  protected def parallelMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(xs.map(x => Future(f(x)))), 30.minutes)
+  }
 
   /** Exact row count of the parquet files under `p` from their
     * footers (the writer's own record counts — no Spark job). One
