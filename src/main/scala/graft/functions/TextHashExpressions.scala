@@ -251,6 +251,111 @@ object TextHashExpressions {
     override def prettyName: String = "winnow_md5"
   }
 
+  /** k xxhash64 min-hashes in one compiled pass — the FAST (scale
+    * pipeline) family twin of [[MinhashMd5]]. Replicates
+    * `array_min(transform(sh, s => xxhash64(s, i)))` exactly:
+    * Spark's XxHash64 folds its children from seed 42, so
+    * xxhash64(s, i) = hashInt(i, hashUnsafeBytes(s, 42)) — the string
+    * hash is seed-independent, so the kernel computes it ONCE per
+    * shingle and mixes k cheap hashInt steps (the HOF paid k full
+    * string hashes). A null shingle contributes hashInt(i, 42)
+    * (Spark's hash functions skip null children, leaving the seed) —
+    * mirrored, not skipped. Signed long min, exactly array_min. */
+  case class MinhashXx64(child: Expression, k: Int) extends UnaryExpression {
+    require(k >= 1, s"minhash_xx64: k must be positive, got $k")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = arrayStringType(child)
+
+    def compute(x: ArrayData): ArrayData = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val n = x.numElements()
+      if (n == 0) return new GenericArrayData(new Array[AnyRef](k))
+      val mins = new Array[Long](k)
+      java.util.Arrays.fill(mins, Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val h1 =
+          if (x.isNullAt(j)) 42L
+          else {
+            val s = x.getUTF8String(j)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          }
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashInt(i, h1)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("minhashXx64", this, classOf[MinhashXx64].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "minhash_xx64"
+  }
+
+  /** Fast-family SimHash twin of [[SimhashMd5]]: per-token 64-bit
+    * xxhash64 (seed 42; a null token leaves the seed, mirrored), bit b
+    * of the fingerprint = majority of (h >> b) & 1 — exactly the
+    * aggregate/filter fold in [[graft.operators.Dedup.simhash]]. */
+  case class SimhashXx64(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes(): TypeCheckResult = arrayStringType(child)
+
+    def compute(x: ArrayData): Long = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      val n = x.numElements()
+      val cnt = new Array[Int](64)
+      var j = 0
+      while (j < n) {
+        val h =
+          if (x.isNullAt(j)) 42L
+          else {
+            val s = x.getUTF8String(j)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+          }
+        var b = 0
+        while (b < 64) {
+          cnt(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        j += 1
+      }
+      var acc = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * cnt(b) > n) acc |= (1L << b)
+        b += 1
+      }
+      acc
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("simhashXx64", this, classOf[SimhashXx64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+    override def prettyName: String = "simhash_xx64"
+  }
+
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def minhash_md5(sh: Column, k: Int): Column =
@@ -261,4 +366,10 @@ object TextHashExpressions {
 
   def winnow_md5(grams: Column, window: Int): Column =
     column(WinnowMd5(expression(grams), window))
+
+  def minhash_xx64(sh: Column, k: Int): Column =
+    column(MinhashXx64(expression(sh), k))
+
+  def simhash_xx64(toks: Column): Column =
+    column(SimhashXx64(expression(toks)))
 }

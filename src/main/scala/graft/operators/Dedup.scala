@@ -150,17 +150,22 @@ object Dedup {
   }
 
   /** Staged signature computation: tokens → shingle array → k
-    * min-hashes, each stage once per row. The `size(sh) >= 0` guard
-    * double-references `sh`, which stops CollapseProject from
-    * re-inlining the (expensive) shingle expression into the 32-seed
-    * lambda — measured 183 s → ~2 s over 5k docs. Pure projection:
-    * zero shuffle regardless of corpus size. */
+    * min-hashes, each stage once per row. The k×|sh| xxhash64/min
+    * fold runs through the compiled
+    * [[graft.functions.TextHashExpressions.minhash_xx64]] kernel
+    * (bit-identical to the HOF composition — pinned in
+    * TextHashKernelSpec), which also hashes each shingle's bytes ONCE
+    * and mixes k cheap hashInt steps instead of k full string hashes.
+    * The `size(sh) >= 0` guard double-references `sh`, which stops
+    * CollapseProject from re-inlining the (expensive) shingle
+    * expression (measured 183 s → ~2 s over 5k docs before the
+    * barrier existed). Pure projection: zero shuffle regardless of
+    * corpus size. */
   def minhashSignatures(docs: DataFrame, k: Int, shingleN: Int): DataFrame =
     withShingles(docs, shingleN)
       .select(col("doc_id"),
         when(size(col("sh")) >= 0,
-          transform(sequence(lit(0), lit(k - 1)), i =>
-            array_min(transform(col("sh"), s => xxhash64(s, i)))))
+          graft.functions.TextHashExpressions.minhash_xx64(col("sh"), k))
           .as("sig"))
 
   /** Engine-portable signature variant: the hash family is
@@ -364,14 +369,14 @@ object Dedup {
     * would multiply rows 64×. */
   def simhash(docs: DataFrame): DataFrame =
     parallelized(docs)
-      .withColumn("th", expr(
-        "transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  sequence(0, 63), 0L,
-          |  (acc, b) -> acc + shiftleft(
-          |    CASE WHEN 2 * size(filter(th, h -> (shiftright(h, b) & 1) = 1)) > size(th)
-          |         THEN 1L ELSE 0L END, b))""".stripMargin))
+      // 64 bit-majorities over per-token xxhash64 in ONE compiled pass
+      // (simhash_xx64 kernel — bit-identical to the aggregate/filter
+      // fold it replaced, pinned in TextHashKernelSpec). The guard
+      // double-references the token array (the HOF-recompute trap).
+      .withColumn("__toks", split(lower(col("text")), "\\s+"))
+      .withColumn("simhash",
+        when(size(col("__toks")) >= 0,
+          graft.functions.TextHashExpressions.simhash_xx64(col("__toks"))))
       .select(col("doc_id"), col("simhash"))
 
   /** Engine-portable SimHash: the per-token hash is the first 16 hex

@@ -75,6 +75,42 @@ class TextHashKernelSpec extends SparkSpecBase {
     assert(bad == 0, s"$bad rows diverge between simhash_md5 kernel and HOF fold")
   }
 
+  test("minhash_xx64 kernel is bit-identical to the xxhash64 HOF min-fold (k=32)") {
+    val k = 32
+    val sh = Dedup.withShingles(fixture, 3)
+    val both = sh.select($"doc_id",
+      when(size($"sh") >= 0,
+        TextHashExpressions.minhash_xx64($"sh", k)).as("kern"),
+      when(size($"sh") >= 0,
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          array_min(transform($"sh", s => xxhash64(s, i))))).as("hof"))
+    val bad = both.where(!($"kern" <=> $"hof")).count()
+    assert(bad == 0, s"$bad rows diverge between minhash_xx64 kernel and HOF fold")
+    // empty-shingle docs produce k nulls on both sides
+    val empty = both.where($"doc_id" === 100001L).head()
+    assert(empty.getSeq[Any](1).forall(_ == null) &&
+      empty.getSeq[Any](2).forall(_ == null))
+  }
+
+  test("simhash_xx64 kernel is bit-identical to the xxhash64 bit-majority fold") {
+    val toks = fixture.withColumn("__toks", split(lower($"text"), "\\s+"))
+    val both = toks.select($"doc_id",
+      when(size($"__toks") >= 0,
+        TextHashExpressions.simhash_xx64($"__toks")).as("kern"),
+      expr(
+        """CASE WHEN size(transform(split(lower(text), '\\s+'), t -> xxhash64(t))) >= 0
+          |THEN aggregate(
+          |  sequence(0, 63), 0L,
+          |  (acc, b) -> acc + shiftleft(
+          |    CASE WHEN 2 * size(filter(
+          |        transform(split(lower(text), '\\s+'), t -> xxhash64(t)),
+          |        h -> (shiftright(h, b) & 1) = 1))
+          |      > size(transform(split(lower(text), '\\s+'), t -> xxhash64(t)))
+          |    THEN 1L ELSE 0L END, b)) END""".stripMargin).as("hof"))
+    val bad = both.where(!($"kern" <=> $"hof")).count()
+    assert(bad == 0, s"$bad rows diverge between simhash_xx64 kernel and HOF fold")
+  }
+
   test("winnow_md5 kernel is bit-identical to the staged HOF winnowing") {
     val window = 4
     val g = fixture
