@@ -310,7 +310,16 @@ object Dedup {
     // only, as the two-stage contract promises (guide §3.2).
     val candIds = candC.select(col("doc_a").as("doc_id"))
       .unionByName(candC.select(col("doc_b").as("doc_id"))).distinct()
-    // gram-position rows (doc_id, pos, g) — multiplicity + order kept
+    // gram-position rows (doc_id, pos, g) — multiplicity + order kept.
+    // NOTE: this frame is joined below under two different attribute
+    // namings (doc_a vs doc_b sides), so ReuseExchange cannot match
+    // the subtrees and the scan→semi-join→explode→md5 pipeline plans
+    // twice. Measured (r6): staging it once (persist or eager
+    // localCheckpoint) is SLOWER — the duplicate subtrees execute as
+    // independent parallel stages on idle cores, while staging
+    // serializes an extra job and barriers the broadcast builds
+    // behind it. Left duplicated on purpose; cost is candidate-
+    // bounded on both executions.
     val grams = parallelized(docs.join(candIds, Seq("doc_id"), "left_semi"))
       .withColumn("__toks", split(lower(col("text")), "\\s+"))
       .withColumn("__g", TextAnalysis.gramsOf(col("__toks"), k))
@@ -349,6 +358,13 @@ object Dedup {
     // is ≪ corpus, so verification touches candidate text only).
     val candIds = p.select(col("doc_a").as("doc_id"))
       .unionByName(p.select(col("doc_b").as("doc_id"))).distinct()
+    // NOTE: joined below under two different namings (sh_a / sh_b
+    // sides), which ReuseExchange can never match — the shingle
+    // projection over candidate text plans twice. Measured (r6):
+    // staging it once (persist or eager localCheckpoint) is neutral
+    // at best — the duplicate subtrees run as independent parallel
+    // stages, while staging serializes an extra job. Left duplicated;
+    // cost is candidate-bounded on both executions.
     val sh = withShingles(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleN)
       .select(col("doc_id"), col("sh"))
     p

@@ -98,15 +98,24 @@ object TextAnalysis {
       ratesSixteenths: Map[String, Int]): DataFrame = {
     require(ratesSixteenths.values.forall(r => r >= 0 && r <= 16),
       "per-stratum rates are sixteenths in [0, 16]")
+    // Stage the stratum value ONCE per row behind an optimizer fence:
+    // the keep condition below references it ~2× per stratum, and
+    // filter pushdown would otherwise inline the caller's whole
+    // stratum expression (e.g. the language-ID score CASE) once per
+    // reference into the scan Filter — measured 8 inlined copies and
+    // a 3.5× row cost on q_stratified_sample (guide §4.4 class).
+    val staged = docs.withColumn("__stratum",
+      graft.functions.Barrier.barrier(strata))
+    val st = col("__stratum")
     // nibble < the rate-th hex char keeps rate/16 of the stratum
     // (lowercase hex orders lexicographically; 'g' > 'f' keeps all)
     val hexChars = "0123456789abcdefg"
-    val nib = substring(md5(concat(strata, lit(":"), idCol.cast("string"))), 1, 1)
+    val nib = substring(md5(concat(st, lit(":"), idCol.cast("string"))), 1, 1)
     val keep = ratesSixteenths.toSeq.sortBy(_._1).foldRight(lit(true)) {
       case ((sv, r), els) =>
-        when(strata === sv, nib < lit(hexChars.charAt(r).toString)).otherwise(els)
+        when(st === sv, nib < lit(hexChars.charAt(r).toString)).otherwise(els)
     }
-    docs.where(keep)
+    staged.where(keep).drop("__stratum")
   }
 
   /** Token-budget corpus mixing: realize target source proportions as
