@@ -681,36 +681,40 @@ class TierTable(spark: SparkSession, root: String, nBuckets: Int = 16,
     val todoDirs = todo.toSeq.flatMap(resolved.get).map(e => s"$root/${e.dir}")
     // leaf-dir reads drop the hive partition columns; pb/pd are pure
     // functions of (key, bucket) — same recompute as merge.
-    val kept = keep(withPartCols(spark.read.parquet(todoDirs: _*))).cache()
-    try {
-      val counts = kept.groupBy(col("pb"), col("pd")).count().collect()
-        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-      val outDir = s"data/v$newVersion-${nonce()}"
-      if (counts.nonEmpty) {
-        kept.repartition(col("pb"), col("pd")).write
-          .partitionBy("pb", "pd")
-          .mode(SaveMode.Overwrite)
-          .parquet(s"$root/$outDir")
-      } // all rows deleted → only marker entries, no data dir at all
-      val newEntries = todo.toSeq.sorted.map { case (pb, pd) =>
-        val lineage = resolved((pb, pd)).runIds :+ runId
-        counts.get((pb, pd)) match {
-          case Some(n) =>
-            val dir = s"$outDir/pb=$pb/pd=$pd"
-            PartEntry(pb, pd, dir, n, dirSize(rootPath.resolve(dir)), lineage)
-          case None => PartEntry(pb, pd, "", 0L, 0L, lineage)
-        }
-      }
-      val entries =
-        if (makeFull)
-          (resolved.filterNot { case (part, _) => todo.contains(part) }
-            .values.toSeq ++ newEntries)
-            .map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))
-        else newEntries
-      val m = Manifest(newVersion, prevVersion, makeFull, entries)
-      commit(m)
-      m
-    } finally { kept.unpersist(); () }
+    val kept = keep(withPartCols(spark.read.parquet(todoDirs: _*)))
+    val outDir = s"data/v$newVersion-${nonce()}"
+    // ONE pass over the kept rows (the merge single-pass discipline):
+    // write first, then take per-partition counts from the written
+    // parquet footers instead of a cache + a groupBy-count job — the
+    // rewritten partitions are read once, not twice. A partition
+    // whose every row was deleted simply has no written dir and
+    // becomes a marker entry (dir = ""), exactly as before.
+    kept.repartition(col("pb"), col("pd")).write
+      .partitionBy("pb", "pd")
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$root/$outDir")
+    val newEntries = parallelMap(todo.toSeq.sorted) { case (pb, pd) =>
+      val lineage = resolved((pb, pd)).runIds :+ runId
+      val dir = s"$outDir/pb=$pb/pd=$pd"
+      val p = rootPath.resolve(dir)
+      if (Files.isDirectory(p))
+        PartEntry(pb, pd, dir, dirRowCount(p), dirSize(p), lineage)
+      else PartEntry(pb, pd, "", 0L, 0L, lineage)
+    }
+    // all rows deleted → the write left only _SUCCESS: remove the
+    // empty attempt dir before commit so the "marker entries carry no
+    // data dir at all" invariant holds (nothing references it yet)
+    if (newEntries.forall(_.dir.isEmpty))
+      deleteRecursively(rootPath.resolve(outDir))
+    val entries =
+      if (makeFull)
+        (resolved.filterNot { case (part, _) => todo.contains(part) }
+          .values.toSeq ++ newEntries)
+          .map(e => e.copy(runIds = e.runIds.takeRight(maxLineage)))
+      else newEntries
+    val m = Manifest(newVersion, prevVersion, makeFull, entries)
+    commit(m)
+    m
   }
 
   /** Lazy key-level DELETE — the Iceberg v2 EQUALITY-DELETE
